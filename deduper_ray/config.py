@@ -1,0 +1,89 @@
+"""Job configuration.
+
+Replaces the reference's JNDI-indirected ``Config``/``ConfigBuilder``
+(reference: config/Config.kt:68-137) with plain frozen dataclasses:
+paths instead of JNDI names, explicit validation instead of runtime
+lookup. No builder needed — Python keyword arguments are the builder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupeConfig:
+    """Exact-dedup job config (reference: config/Config.kt:19-55).
+
+    source              parquet file/dir/glob (reference S1/S2: SourceJndi)
+    hash_keys           columns hashed for identity; empty → ALL columns in
+                        schema order (reference: Deduper.kt:181-185)
+    columns             optional read-time projection (pruned at the read)
+    order_by            column defining the global first-occurrence order;
+                        None → deterministic file/row-group ordinal
+                        (reference row ordinal: Deduper.kt:241)
+    seen_hashes         optional parquet of previously-seen hashes
+                        (reference S3: HashSourceJndi, Deduper.kt:135-158)
+    seen_hash_column    column holding the hash in ``seen_hashes``
+    target_path         deduped-rows sink dir (None → skip, reference K1/K2)
+    dupes_path          dupe-group sink dir (None → skip, reference K3)
+    hashes_path         hash-table sink dir (None → skip, reference K4)
+    include_json        include json_row in the hashes output
+                        (reference: jndi/JNDIType.kt:62-69)
+    """
+
+    source: str
+    hash_keys: tuple[str, ...] = ()
+    columns: tuple[str, ...] | None = None
+    order_by: str | None = None
+    seen_hashes: str | None = None
+    seen_hash_column: str = "hash"
+    target_path: str | None = None
+    dupes_path: str | None = None
+    hashes_path: str | None = None
+    include_json: bool = False
+
+
+@dataclass(frozen=True)
+class NearDupConfig:
+    """Near-duplicate detection + clustering config (north-rule pipeline).
+
+    The reference has no near-dup operators; this parameterizes the
+    shingle → MinHash → LSH → verify → union-find stack. Defaults follow
+    the classic Leskovec/Rajaraman/Ullman LSH setup: 128 permutations in
+    16 bands × 8 rows ≈ threshold ~0.77; lower ``threshold`` to keep
+    more verified pairs.
+
+    shingle_k           character-shingle width
+    use_token_shingles  shingle over word tokens instead of characters
+    num_perms           MinHash signature length K
+    bands               LSH band count b (num_perms % bands == 0)
+    threshold           min estimated Jaccard for a verified pair
+    simhash_bits        SimHash fingerprint width (0 → skip SimHash verify)
+    simhash_max_hamming max Hamming distance for the SimHash verify path
+    max_pairs_per_bucket candidate-pair cap per LSH bucket (skew guard;
+                        dropped pairs are counted and logged)
+    seed                permutation/seed material — fixed for determinism
+    """
+
+    text_column: str = "content"
+    id_column: str = "row_id"
+    shingle_k: int = 8
+    use_token_shingles: bool = False
+    num_perms: int = 128
+    bands: int = 16
+    threshold: float = 0.7
+    simhash_bits: int = 64
+    simhash_max_hamming: int = 8
+    max_pairs_per_bucket: int = 2000
+    seed: int = 42
+    batch_size: int = 256
+    concurrency: int | tuple[int, int] = 4
+
+    @property
+    def rows_per_band(self) -> int:
+        if self.num_perms % self.bands != 0:
+            raise ValueError(
+                f"num_perms={self.num_perms} not divisible by bands={self.bands}"
+            )
+        return self.num_perms // self.bands

@@ -1,0 +1,119 @@
+"""Row-hash semantics of the reference engine, vectorized over Arrow.
+
+Reference contract (conformance-pinned):
+- hash string = selected columns rendered to strings and joined with
+  ``", "`` in declared hash-key order (reference: Deduper.kt:195 via
+  SqlUtils.stringifyRow; separator proven by the golden sample at
+  DeduperTest.kt:427: ``"3526 HIGH ST, SACRAMENTO, CA, 95838, 59222"``).
+- nulls render as ``""`` (fixed by fiat — the reference's exact null
+  rendering lives in the unvendored sqlutils lib; see SURVEY.md §7.4).
+- empty hash-key set → ALL columns in schema order
+  (reference: Deduper.kt:181-185).
+- row hash = uppercase hex MD5 of that string (reference: Deduper.kt:201).
+
+The 64-bit "long hash" at reference Deduper.kt:202-205 is dead code
+(computed, trace-logged, never used) and is intentionally omitted;
+``fingerprint64`` below provides the equivalent capability (first 8
+bytes of the MD5) for engines that want a fixed-width key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+HASH_SEPARATOR = ", "
+
+
+def stringify_columns(batch: pa.Table, hash_keys: tuple[str, ...]) -> pa.Array:
+    """Render hash-key columns to the reference's joined hash string.
+
+    Vectorized: cast each column to string, null→"", join element-wise
+    with ", ". Empty ``hash_keys`` hashes all columns in schema order.
+    """
+    keys = hash_keys or tuple(batch.column_names)
+    missing = [k for k in keys if k not in batch.column_names]
+    if missing:
+        # reference: require(hashColumns ⊆ rsColumns), Deduper.kt:177-179
+        raise ValueError(f"hash columns not found in source: {missing}")
+    parts = []
+    for k in keys:
+        col = batch[k]
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            col = pc.cast(col, pa.string())
+        parts.append(pc.fill_null(col, ""))
+    if len(parts) == 1:
+        out = parts[0]
+    else:
+        out = pc.binary_join_element_wise(*parts, HASH_SEPARATOR)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _digest_hex_array(arr: pa.Array | pa.ChunkedArray, algo) -> pa.Array:
+    """Hex digests of a string array. hashlib releases the GIL per call;
+    the per-row Python loop here is the digest loop itself (no vectorized
+    MD5 kernel exists in pyarrow) and runs inside distributed map_batches
+    tasks, so it parallelizes across blocks."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = [algo(s.encode("utf-8", "surrogatepass")).hexdigest() for s in arr.to_pylist()]
+    return pa.array(out, type=pa.string())
+
+
+def md5_hex_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Uppercase hex MD5 per element (reference: Deduper.kt:201)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = [
+        hashlib.md5(s.encode("utf-8", "surrogatepass")).hexdigest().upper()
+        for s in arr.to_pylist()
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def sha256_hex_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Lowercase hex SHA-256 per element — the per-row content invariant
+    required by BASELINE.json input_hint (content sha256 equality)."""
+    return _digest_hex_array(arr, hashlib.sha256)
+
+
+def fingerprint64(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """64-bit fingerprint = first 8 bytes of the MD5, big-endian uint64.
+
+    Replaces the reference's dead longHash (Deduper.kt:202-205,
+    hashing/Hasher.kt:11-13) with a well-defined construction.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+            for s in arr.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(arr),
+    )
+    return pa.array(vals, type=pa.uint64())
+
+
+def add_hash_columns(
+    batch: pa.Table,
+    hash_keys: tuple[str, ...],
+    *,
+    hash_col: str = "row_md5",
+    sha_col: str | None = None,
+    sha_source: str | None = None,
+) -> pa.Table:
+    """map_batches body: append the reference row hash (and optionally a
+    content sha256) to an Arrow batch. Stateless — use as a task stage."""
+    joined = stringify_columns(batch, hash_keys)
+    batch = batch.append_column(hash_col, md5_hex_array(joined))
+    if sha_col and sha_source:
+        src = batch[sha_source]
+        if not pa.types.is_string(src.type) and not pa.types.is_large_string(src.type):
+            src = pc.cast(src, pa.string())
+        batch = batch.append_column(sha_col, sha256_hex_array(pc.fill_null(src, "")))
+    return batch

@@ -1,0 +1,278 @@
+"""The flagship exact-dedup job — Ray-Data re-architecture of
+``Deduper.dedupe()`` (reference: Deduper.kt:429-549).
+
+Reference lifecycle (1 producer thread + ≤3 sink consumer threads over
+bounded queues with empty-list EOS sentinels) becomes a lazy Dataset
+DAG executed by the streaming executor: queues/sentinels/backpressure
+are the executor's job, sink threads become ``write_parquet`` branches,
+and the in-heap seenHashes/dupeMap state becomes one narrow
+groupby-aggregate shuffle (see stages/exact.py for the decomposition).
+
+Outputs (all optional, mirroring the reference's three sinks):
+  target_path/  deduped rows, input schema (+row_id)      (K1/K2)
+  dupes_path/   (hash, row_ids json, first_found_row_number,
+                dupe_values json)                          (K3)
+  hashes_path/  (hash [, json_row])                        (K4)
+plus a DedupeReport (O10) and hard-fail count reconciliation (K5 —
+the reference only logs mismatches, BaseConsumer.kt:106-117; we raise).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from deduper_ray.config import DedupeConfig
+from deduper_ray.functions.hashing import add_hash_columns, md5_hex_array, stringify_columns
+from deduper_ray.report import DedupeReport, DupeGroup
+from deduper_ray.sources.readers import read_table
+from deduper_ray.stages.exact import (
+    HASH_COL,
+    ROW_ID,
+    DropFilter,
+    drop_row_ids,
+    dupe_group_details,
+    group_stats,
+)
+from deduper_ray.stages.seen import SEEN_FLAG, SeenHashMarker, load_seen_hashes, mark_not_seen
+
+
+def build_hashed_dataset(cfg: DedupeConfig) -> tuple[rd.Dataset, list[str]]:
+    """read → row_id → row_md5 → is_seen. Returns (dataset, source columns)."""
+    ds = read_table(cfg.source, columns=list(cfg.columns) if cfg.columns else None,
+                    order_by=cfg.order_by)
+    schema_cols = [c for c in ds.schema().names if c != ROW_ID]
+    hash_keys = cfg.hash_keys or tuple(schema_cols)
+    missing = [k for k in hash_keys if k not in schema_cols]
+    if missing:  # reference: require(...) Deduper.kt:177-179
+        raise ValueError(f"hash columns {missing} not in source columns {schema_cols}")
+
+    ds = ds.map_batches(
+        lambda t: add_hash_columns(t, hash_keys, hash_col=HASH_COL),
+        batch_format="pyarrow",
+    )
+    if cfg.seen_hashes:
+        seen_ref = load_seen_hashes(cfg.seen_hashes, cfg.seen_hash_column)
+        ds = ds.map_batches(
+            SeenHashMarker,
+            fn_constructor_kwargs={"seen_ref": seen_ref, "hash_col": HASH_COL},
+            batch_format="pyarrow",
+            concurrency=4,
+        )
+    else:
+        ds = ds.map_batches(mark_not_seen, batch_format="pyarrow")
+    return ds, schema_cols
+
+
+def _count_seen_hashes(cfg: DedupeConfig) -> int:
+    if not cfg.seen_hashes:
+        return 0
+    import pyarrow.parquet as pq
+
+    from deduper_ray.sources.readers import _expand_paths
+
+    tables = [
+        pq.read_table(f, columns=[cfg.seen_hash_column])
+        for f in _expand_paths(cfg.seen_hashes)
+    ]
+    return len(pc.unique(pa.concat_tables(tables)[cfg.seen_hash_column]))
+
+
+def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
+    """Run the full job; returns the report (reference: Deduper.kt:429).
+
+    ``materialize=True`` pins the hashed dataset (and the per-hash
+    stats) in the object store so the multiple consumers below (stats,
+    dupe details, target, hashes) don't re-run the read+MD5 DAG per
+    sink. At 100 TB, replace with a parquet stage checkpoint
+    (state/lineage.py) — same idea, disk-backed; the object store
+    spills to disk under memory pressure either way.
+    """
+    hashed, schema_cols = build_hashed_dataset(cfg)
+    hash_keys = list(cfg.hash_keys or schema_cols)
+    if materialize:
+        hashed = hashed.materialize()
+
+    stats = group_stats(hashed).materialize()
+
+    # -- driver-side scalar aggregates (reference O10 counters): one
+    #    summary row per stats batch, summed on the driver ------------
+    def _summary(t: pa.Table) -> pa.Table:
+        seen = pc.greater(t["any_seen"], 0)
+        multi = pc.greater(t["n_rows"], 1)
+
+        def s(arr):
+            return pc.sum(pc.cast(arr, pa.int64())).as_py() or 0
+
+        return pa.table(
+            {
+                "groups": pa.array([t.num_rows], type=pa.int64()),
+                "rows": pa.array([pc.sum(t["n_rows"]).as_py() or 0], type=pa.int64()),
+                "seen_groups": pa.array([s(seen)], type=pa.int64()),
+                "seen_rows": pa.array(
+                    [pc.sum(pc.multiply(pc.cast(seen, pa.int64()), t["n_rows"])).as_py() or 0],
+                    type=pa.int64(),
+                ),
+                "multi_groups": pa.array([s(multi)], type=pa.int64()),
+                "seen_multi": pa.array([s(pc.and_(seen, multi))], type=pa.int64()),
+            }
+        )
+
+    agg = stats.map_batches(_summary, batch_format="pyarrow").to_pandas().sum()
+
+    record_count = int(agg["rows"])
+    unseen_groups = int(agg["groups"] - agg["seen_groups"])
+    # dupes: every row of a preloaded-hash group + all-but-first of
+    # multi-row unseen groups (reference Deduper.kt:207-240)
+    dupe_count = int(agg["seen_rows"]) + (
+        record_count - int(agg["seen_rows"]) - unseen_groups
+    )
+    distinct_dupe_count = int(
+        agg["seen_groups"] + agg["multi_groups"] - agg["seen_multi"]
+    )
+    n_preloaded = _count_seen_hashes(cfg)
+    hash_count = unseen_groups + n_preloaded  # preload-inclusive, DeduperTest.kt:408
+
+    # -- dupe groups (bounded by dupe volume, like reference dupeMap) --
+    dupes_df = dupe_group_details(hashed, stats, columns_for_json=schema_cols)
+
+    report = DedupeReport(
+        record_count=record_count,
+        hash_columns=hash_keys,
+        columns_found=schema_cols,
+        dupe_count=dupe_count,
+        distinct_dupe_count=distinct_dupe_count,
+        hash_count=hash_count,
+        dupes={
+            r["hash"]: DupeGroup(
+                row_ids=list(r["row_ids"]),
+                first_found_row_number=int(r["first_found_row_number"]),
+                dupe_values_json=r["dupe_values"],
+            )
+            for _, r in dupes_df.iterrows()
+        },
+        success=True,
+    )
+
+    # -- sinks ---------------------------------------------------------
+    written = {}
+    if cfg.target_path:
+        os.makedirs(cfg.target_path, exist_ok=True)
+        drops_ref = ray.put(drop_row_ids(dupes_df))
+        target = hashed.map_batches(
+            DropFilter,
+            fn_constructor_kwargs={"drops_ref": drops_ref},
+            batch_format="pyarrow",
+            concurrency=4,
+        ).map_batches(
+            lambda t: t.drop_columns([HASH_COL, SEEN_FLAG]),
+            batch_format="pyarrow",
+        )
+        target.write_parquet(cfg.target_path)
+        written["target"] = _count_parquet(cfg.target_path)
+
+    if cfg.dupes_path:
+        os.makedirs(cfg.dupes_path, exist_ok=True)
+        dupes_sink = pa.table(
+            {
+                "hash": pa.array(dupes_df["hash"], type=pa.string()),
+                "row_ids": pa.array(
+                    [json.dumps(ids) for ids in dupes_df["row_ids"]], type=pa.string()
+                ),
+                "first_found_row_number": pa.array(
+                    dupes_df["first_found_row_number"], type=pa.int64()
+                ),
+                "dupe_values": pa.array(dupes_df["dupe_values"], type=pa.string()),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(dupes_sink, os.path.join(cfg.dupes_path, "dupes.parquet"))
+        written["dupes"] = dupes_sink.num_rows
+
+    if cfg.hashes_path:
+        # newly-seen hashes; with include_json the keeper row rides along
+        # (reference hash sink: Persistors.kt:391-453). Reusable as the
+        # next run's seen_hashes input (incremental mode, SURVEY §2 S3).
+        if cfg.include_json:
+            drops_ref = ray.put(drop_row_ids(dupes_df))
+            cols = schema_cols
+
+            def _hash_rows(t: pa.Table) -> pa.Table:
+                payload = [
+                    json.dumps({c: rec[c] for c in cols}, default=str, ensure_ascii=False)
+                    for rec in t.select(cols).to_pylist()
+                ]
+                return pa.table(
+                    {
+                        "hash": t[HASH_COL],
+                        "json_row": pa.array(payload, type=pa.string()),
+                    }
+                )
+
+            hashes_ds = hashed.map_batches(
+                DropFilter,
+                fn_constructor_kwargs={"drops_ref": drops_ref},
+                batch_format="pyarrow",
+                concurrency=4,
+            ).map_batches(_hash_rows, batch_format="pyarrow")
+        else:
+            hashes_ds = stats.map_batches(
+                lambda t: pa.table(
+                    {
+                        "hash": t.filter(pc.equal(t["any_seen"], 0))[HASH_COL],
+                        "json_row": pa.nulls(
+                            t.filter(pc.equal(t["any_seen"], 0)).num_rows,
+                            type=pa.string(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        os.makedirs(cfg.hashes_path, exist_ok=True)
+        hashes_ds.write_parquet(cfg.hashes_path)
+        written["hashes"] = _count_parquet(cfg.hashes_path)
+
+    # -- K5 reconciliation: hard-fail (reference only logs,
+    #    BaseConsumer.kt:106-117) -------------------------------------
+    expected = {
+        "target": record_count - dupe_count,
+        "dupes": distinct_dupe_count,
+        "hashes": unseen_groups,
+    }
+    for sink, n in written.items():
+        if n != expected[sink]:
+            raise RuntimeError(
+                f"sink '{sink}' wrote {n} rows, expected {expected[sink]}"
+            )
+    return report
+
+
+def _count_parquet(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    from deduper_ray.sources.readers import _expand_paths
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _expand_paths(path)
+    )
+
+
+def sample_hash(cfg: DedupeConfig) -> tuple[str, str]:
+    """First-row probe (reference S4: Deduper.getSampleHash,
+    Deduper.kt:407-421): returns (sample_string, sample_hash)."""
+    ds = read_table(cfg.source, columns=list(cfg.columns) if cfg.columns else None,
+                    order_by=cfg.order_by)
+    schema_cols = [c for c in ds.schema().names if c != ROW_ID]
+    hash_keys = cfg.hash_keys or tuple(schema_cols)
+    first = ds.sort(ROW_ID).limit(1).to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in first])
+    joined = stringify_columns(tbl, tuple(hash_keys))
+    return joined[0].as_py(), md5_hex_array(joined)[0].as_py()

@@ -1,0 +1,151 @@
+"""Parquet sources with DETERMINISTIC global row ordinals.
+
+The reference's first-occurrence-wins semantics hinge on a global row
+ordinal (reference: Deduper.kt:241 recordCount++; golden row numbers at
+DeduperTest.kt:56-63). Ray Data block order is not deterministic, so the
+ordinal cannot come from arrival order. Instead:
+
+1. Driver does a METADATA-ONLY pass: sort the file list, read each
+   footer's per-row-group row counts, and build a plan of
+   (file, row_group, start_offset) — no data rows touch the driver.
+2. One distributed task per row group reads that row group (with column
+   pruning) and appends ``row_id = start_offset + local_index``.
+
+The ordinal is then a pure function of (sorted file list, row position),
+reproducible under any parallelism — the property SURVEY.md §4.2
+"Determinism/order" requires. At 100 TB the plan is one small list per
+~1 GiB row group, and every read is an independent task with no
+shuffle.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+ROW_ID = "row_id"
+
+
+def _expand_paths(source: str | list[str]) -> list[str]:
+    """Sorted file list for a file / directory / glob / list source."""
+    if isinstance(source, (list, tuple)):
+        files: list[str] = []
+        for s in source:
+            files.extend(_expand_paths(s))
+        return sorted(files)
+    if os.path.isdir(source):
+        return sorted(
+            os.path.join(source, f)
+            for f in os.listdir(source)
+            if f.endswith(".parquet")
+        )
+    if any(c in source for c in "*?["):
+        return sorted(_glob.glob(source))
+    return [source]
+
+
+@dataclass(frozen=True)
+class _RowGroupPlan:
+    path: str
+    row_group: int
+    offset: int
+    num_rows: int
+
+
+def _plan_row_groups(files: list[str]) -> list[_RowGroupPlan]:
+    plan: list[_RowGroupPlan] = []
+    offset = 0
+    for path in files:
+        meta = pq.ParquetFile(path).metadata
+        for rg in range(meta.num_row_groups):
+            n = meta.row_group(rg).num_rows
+            if n:
+                plan.append(_RowGroupPlan(path, rg, offset, n))
+            offset += n
+    return plan
+
+
+def read_parquet_with_row_ids(
+    source: str | list[str],
+    *,
+    columns: list[str] | None = None,
+    row_id_column: str = ROW_ID,
+) -> rd.Dataset:
+    """Read parquet into a Dataset with a deterministic ``row_id`` column.
+
+    Column pruning happens at the row-group read (``columns=``), so a
+    2-column transform never lifts the other columns off storage.
+    """
+    files = _expand_paths(source)
+    if not files:
+        raise FileNotFoundError(f"no parquet files match {source!r}")
+    plan = _plan_row_groups(files)
+    if not plan:
+        # empty source: preserve schema with zero rows
+        schema = pq.ParquetFile(files[0]).schema_arrow
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        schema = schema.append(pa.field(row_id_column, pa.int64()))
+        return rd.from_arrow(schema.empty_table())
+
+    plan_rows = [
+        {"path": p.path, "row_group": p.row_group, "offset": p.offset}
+        for p in plan
+    ]
+    cols = list(columns) if columns else None
+
+    def _read(batch: pa.Table) -> pa.Table:
+        tables = []
+        for task in batch.to_pylist():
+            rg = pq.ParquetFile(task["path"]).read_row_group(
+                task["row_group"], columns=cols
+            )
+            rid = np.arange(
+                task["offset"], task["offset"] + rg.num_rows, dtype=np.int64
+            )
+            tables.append(rg.append_column(row_id_column, pa.array(rid)))
+        return pa.concat_tables(tables)
+
+    plan_ds = rd.from_items(plan_rows, override_num_blocks=len(plan_rows))
+    return plan_ds.map_batches(_read, batch_format="pyarrow", batch_size=None)
+
+
+def read_table(
+    source: str | list[str],
+    *,
+    columns: list[str] | None = None,
+    order_by: str | None = None,
+    row_id_column: str = ROW_ID,
+) -> rd.Dataset:
+    """Read a parquet table, guaranteeing a ``row_id`` ordinal column.
+
+    If ``order_by`` names an existing unique column (e.g. ``doc_id``),
+    that column IS the ordinal: plain ``read_parquet`` (cheapest path,
+    full predicate/column pushdown) plus a vectorized copy/cast. Else
+    falls back to the deterministic row-group reader.
+    """
+    if order_by:
+        cols = list(columns) if columns else None
+        if cols is not None and order_by not in cols:
+            cols = cols + [order_by]
+        ds = rd.read_parquet(_expand_paths(source), columns=cols)
+        if order_by != row_id_column:
+
+            def _ordinal(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return batch.append_column(
+                    row_id_column, pc.cast(batch[order_by], pa.int64())
+                )
+
+            ds = ds.map_batches(_ordinal, batch_format="pyarrow")
+        return ds
+    return read_parquet_with_row_ids(
+        source, columns=columns, row_id_column=row_id_column
+    )
