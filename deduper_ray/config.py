@@ -57,7 +57,12 @@ class NearDupConfig:
     shingle_k           character-shingle width
     use_token_shingles  shingle over word tokens instead of characters
     num_perms           MinHash signature length K
-    bands               LSH band count b (num_perms % bands == 0)
+    bands               LSH band count b (num_perms % bands == 0).
+                        Default 32 bands × 4 rows: catch probability at
+                        J=0.8 is 1-(1-0.8^4)^32 ≈ 1-5e-8 — recall ≥0.99
+                        comes from banding being near-exhaustive above
+                        the threshold and precision from the verify
+                        stage, not from the banding curve.
     threshold           min estimated Jaccard for a verified pair
     simhash_bits        SimHash fingerprint width (0 → skip SimHash verify)
     simhash_max_hamming max Hamming distance for the SimHash verify path
@@ -71,7 +76,7 @@ class NearDupConfig:
     shingle_k: int = 8
     use_token_shingles: bool = False
     num_perms: int = 128
-    bands: int = 16
+    bands: int = 32
     threshold: float = 0.7
     simhash_bits: int = 64
     simhash_max_hamming: int = 8

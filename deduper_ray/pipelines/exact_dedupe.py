@@ -272,7 +272,8 @@ def sample_hash(cfg: DedupeConfig) -> tuple[str, str]:
                     order_by=cfg.order_by)
     schema_cols = [c for c in ds.schema().names if c != ROW_ID]
     hash_keys = cfg.hash_keys or tuple(schema_cols)
-    first = ds.sort(ROW_ID).limit(1).to_arrow_refs()
-    tbl = pa.concat_tables([ray.get(r) for r in first])
+    from deduper_ray.functions.util import dataset_to_table
+
+    tbl = dataset_to_table(ds.sort(ROW_ID).limit(1))
     joined = stringify_columns(tbl, tuple(hash_keys))
     return joined[0].as_py(), md5_hex_array(joined)[0].as_py()

@@ -1,0 +1,239 @@
+"""Near-duplicate detection + clustering pipeline (the north-rule job).
+
+    read(code_files) ──► MinHashSigner (actor pool)  ─► signatures/   ckpt
+    signatures ──► band explode ─► groupby(band_key) ─► candidates
+    candidates ──► MinHash/SimHash verify            ─► pairs/        ckpt
+    pairs ──► containment (suffix-array substring)   ─► (flag column)
+    pairs ──► union-find                             ─► clusters/     ckpt
+    clusters ⋈ rows (broadcast map)                  ─► row → cluster_id
+
+Every ckpt directory carries _lineage.json/_metrics.json and reruns
+skip validated stages (state/lineage.py). The wide ``content`` column
+exists ONLY in stage 1 (signing) and the tiny containment probe —
+every shuffle moves ≤ ~1 KB/row narrow records regardless of document
+size.
+
+Replaces the reference's exact-MD5-only identity (Deduper.kt:201)
+with LSH near-dup identity; exact duplicates fall out as Jaccard-1.0
+clusters, so dup-pair recall vs the reference's duplicate groups is
+measured on the same output (tests/test_neardup.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from deduper_ray.config import NearDupConfig
+from deduper_ray.sources.readers import read_table
+from deduper_ray.stages.lsh import candidate_pairs
+from deduper_ray.stages.minhash import MinHashSigner
+from deduper_ray.stages.verify import verify_pairs
+from deduper_ray.state.lineage import (
+    config_hash,
+    read_stage,
+    stage_is_complete,
+    write_stage,
+)
+from deduper_ray.state.unionfind import cluster_edges
+
+
+@dataclass
+class NearDupResult:
+    out_dir: str
+    n_docs: int
+    n_candidate_pairs: int
+    n_verified_pairs: int
+    n_clusters: int
+    n_clustered_docs: int
+    stages_skipped: list[str] = field(default_factory=list)
+    wall_sec: float = 0.0
+
+    def clusters(self) -> rd.Dataset:
+        return read_stage(os.path.join(self.out_dir, "clusters"))
+
+    def pairs(self) -> rd.Dataset:
+        return read_stage(os.path.join(self.out_dir, "pairs"))
+
+    def signatures(self) -> rd.Dataset:
+        return read_stage(os.path.join(self.out_dir, "signatures"))
+
+
+def run_neardup(
+    source: str | rd.Dataset,
+    out_dir: str,
+    cfg: NearDupConfig = NearDupConfig(),
+    *,
+    resume: bool = True,
+    containment: bool = False,
+) -> NearDupResult:
+    t_start = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    chash = config_hash(asdict(cfg))
+    skipped: list[str] = []
+    src_desc = source if isinstance(source, str) else "<dataset>"
+
+    # ---- stage 1: signatures (the only stage that touches content) --
+    sig_dir = os.path.join(out_dir, "signatures")
+    if resume and stage_is_complete(sig_dir, chash):
+        signatures = read_stage(sig_dir)
+        skipped.append("signatures")
+    else:
+        if isinstance(source, str):
+            ds = read_table(
+                source,
+                columns=[cfg.text_column],
+                row_id_column=cfg.id_column,
+            )
+        else:
+            ds = source
+        signed = ds.map_batches(
+            MinHashSigner,
+            fn_constructor_kwargs={
+                "num_perms": cfg.num_perms,
+                "shingle_k": cfg.shingle_k,
+                "seed": cfg.seed,
+                "text_column": cfg.text_column,
+                "id_column": cfg.id_column,
+                "use_token_shingles": cfg.use_token_shingles,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.concurrency,
+        )
+        signatures = write_stage(
+            signed, sig_dir, stage="signatures", cfg_hash=chash,
+            inputs=[src_desc],
+        )
+    n_docs = signatures.count()
+
+    # ---- stage 2: LSH candidates + verification ---------------------
+    pairs_dir = os.path.join(out_dir, "pairs")
+    if resume and stage_is_complete(pairs_dir, chash):
+        verified = read_stage(pairs_dir)
+        skipped.append("pairs")
+        n_cand = -1
+    else:
+        cands = candidate_pairs(
+            signatures,
+            bands=cfg.bands,
+            max_pairs_per_bucket=cfg.max_pairs_per_bucket,
+            id_column=cfg.id_column,
+        ).materialize()
+        n_cand = cands.count()
+        scored = verify_pairs(
+            cands,
+            signatures,
+            threshold=cfg.threshold,
+            simhash_max_hamming=(
+                cfg.simhash_max_hamming if cfg.simhash_bits else None
+            ),
+            id_column=cfg.id_column,
+        )
+        verified = write_stage(
+            scored, pairs_dir, stage="pairs", cfg_hash=chash,
+            inputs=[sig_dir], extra_metrics={"candidate_pairs": n_cand},
+        )
+    n_verified = verified.count()
+
+    # ---- optional: suffix-array containment flag --------------------
+    if containment and isinstance(source, str) and n_verified:
+        _flag_containment(source, pairs_dir, cfg)
+        verified = read_stage(pairs_dir)
+
+    # ---- stage 3: union-find clustering -----------------------------
+    clusters_dir = os.path.join(out_dir, "clusters")
+    if resume and stage_is_complete(clusters_dir, chash):
+        clusters_ds = read_stage(clusters_dir)
+        skipped.append("clusters")
+    else:
+        comp = cluster_edges(verified)  # {row_id: cluster_id}
+        if comp:
+            items = sorted(comp.items())
+            tbl = pa.table(
+                {
+                    cfg.id_column: pa.array([k for k, _ in items], type=pa.int64()),
+                    "cluster_id": pa.array([v for _, v in items], type=pa.int64()),
+                }
+            )
+        else:
+            tbl = pa.table(
+                {
+                    cfg.id_column: pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                }
+            )
+        clusters_ds = write_stage(
+            rd.from_arrow(tbl), clusters_dir, stage="clusters",
+            cfg_hash=chash, inputs=[pairs_dir],
+        )
+
+    cl = clusters_ds.to_pandas()
+    n_clusters = cl["cluster_id"].nunique() if len(cl) else 0
+    result = NearDupResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        n_candidate_pairs=n_cand,
+        n_verified_pairs=n_verified,
+        n_clusters=n_clusters,
+        n_clustered_docs=len(cl),
+        stages_skipped=skipped,
+        wall_sec=time.time() - t_start,
+    )
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(asdict(result), f, indent=2)
+    return result
+
+
+def _flag_containment(source: str, pairs_dir: str, cfg: NearDupConfig) -> None:
+    """Add an ``is_containment`` column to the pairs checkpoint: for
+    high-estimated-containment pairs, suffix-array-check whether the
+    smaller doc is a verbatim substring of the larger
+    (functions/suffix.py). Content is fetched ONLY for flagged pair
+    endpoints (broadcast id-set filter — no shuffle)."""
+    import pyarrow.parquet as pq
+
+    from deduper_ray.functions.suffix import containment_check
+
+    pairs_tbl = read_stage(pairs_dir).to_pandas()
+    suspects = pairs_tbl[pairs_tbl["est_containment"] >= 0.8]
+    flags = np.zeros(len(pairs_tbl), dtype=bool)
+    if len(suspects):
+        ids = np.unique(
+            np.concatenate([suspects["id_a"].values, suspects["id_b"].values])
+        )
+        ids_ref = ray.put(pa.array(ids, type=pa.int64()))
+        ds = read_table(source, columns=[cfg.text_column],
+                        row_id_column=cfg.id_column)
+
+        def _fetch(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[cfg.id_column], value_set=ray.get(ids_ref)))
+
+        from deduper_ray.functions.util import dataset_to_table
+
+        sub = dataset_to_table(ds.map_batches(_fetch, batch_format="pyarrow"))
+        contents = dict(
+            zip(sub[cfg.id_column].to_pylist(), sub[cfg.text_column].to_pylist())
+        )
+        res = containment_check(
+            contents, list(zip(suspects["id_a"], suspects["id_b"]))
+        )
+        sus_idx = suspects.index.to_numpy()
+        for i, (a, b) in zip(sus_idx, zip(suspects["id_a"], suspects["id_b"])):
+            flags[pairs_tbl.index.get_loc(i)] = res[(a, b)]
+    out = pa.Table.from_pandas(
+        pairs_tbl.assign(is_containment=flags), preserve_index=False
+    )
+    for f in os.listdir(pairs_dir):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(pairs_dir, f))
+    pq.write_table(out, os.path.join(pairs_dir, "pairs_flagged.parquet"))

@@ -1,0 +1,165 @@
+"""Candidate-pair verification: MinHash-estimate Jaccard + SimHash
+Hamming agreement (+ optional exact re-shingled Jaccard).
+
+Candidates out of LSH are pre-filtered but noisy; verification kills
+plausible-but-wrong pairs before clustering (keeping the union-find
+edge set small — SURVEY.md §7.4).
+
+Scale shape: the verifier is an actor pool holding the (narrow)
+signature/simhash arrays for the CANDIDATE docs only, broadcast once
+via ``ray.put``. Candidate docs ≪ corpus docs, and each entry is
+K·8 + 8 bytes, so the broadcast stays small even at large corpus
+sizes. For candidate sets too large to broadcast, the same
+verification can be expressed as two co-partitioned groupby joins
+(pair → endpoint signatures); documented, not needed at current scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def collect_signature_store(
+    signatures: rd.Dataset,
+    candidate_ids: np.ndarray,
+    *,
+    id_column: str = "row_id",
+) -> ray.ObjectRef:
+    """Gather (minhash, simhash, n_shingles) for candidate ids into a
+    dense lookup (sorted ids + matrix), put in the object store once."""
+    import pyarrow.compute as pc
+
+    ids_ref = ray.put(pa.array(candidate_ids, type=pa.int64()))
+
+    def _filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_column], value_set=ray.get(ids_ref)))
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    tbl = dataset_to_table(signatures.map_batches(_filter, batch_format="pyarrow"))
+    ids = tbl[id_column].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    K = tbl["minhash"].type.list_size
+    sigs = (
+        tbl["minhash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .reshape(-1, K)[order]
+        .astype(np.uint64)
+    )
+    store = {
+        "ids": ids[order],
+        "sigs": sigs,
+        "simhash": tbl["simhash"].to_numpy(zero_copy_only=False)[order].astype(np.uint64),
+        "n_shingles": tbl["n_shingles"].to_numpy(zero_copy_only=False)[order],
+    }
+    return ray.put(store)
+
+
+class PairVerifier:
+    """map_batches over candidate pairs → verified pairs with scores.
+
+    Emits per pair: est_jaccard (MinHash agreement fraction),
+    hamming (SimHash bit distance), est_containment (est of
+    |A∩B| / min(|A|,|B|) from Jaccard + set sizes).
+    """
+
+    def __init__(self, store_ref: ray.ObjectRef):
+        s = ray.get(store_ref)
+        self.ids: np.ndarray = s["ids"]
+        self.sigs: np.ndarray = s["sigs"]
+        self.simhash: np.ndarray = s["simhash"]
+        self.n_shingles: np.ndarray = s["n_shingles"]
+
+    def _index(self, ids: np.ndarray) -> np.ndarray:
+        return np.searchsorted(self.ids, ids)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        ia, ib = self._index(a), self._index(b)
+        est_j = (self.sigs[ia] == self.sigs[ib]).mean(axis=1)
+        x = self.simhash[ia] ^ self.simhash[ib]
+        # vectorized popcount over the 8 bytes of each uint64
+        hamming = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        na = self.n_shingles[ia].astype(np.float64)
+        nb = self.n_shingles[ib].astype(np.float64)
+        mn = np.minimum(na, nb)
+        # |A∩B| = j·(|A|+|B|)/(1+j); containment = that / min(|A|,|B|)
+        inter = est_j * (na + nb) / (1.0 + est_j)
+        est_c = np.where(mn > 0, np.minimum(inter / np.maximum(mn, 1.0), 1.0), 0.0)
+        return pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "est_jaccard": pa.array(est_j, type=pa.float64()),
+                "hamming": pa.array(hamming, type=pa.int64()),
+                "est_containment": pa.array(est_c, type=pa.float64()),
+            }
+        )
+
+
+def verify_pairs(
+    pairs: rd.Dataset,
+    signatures: rd.Dataset,
+    *,
+    threshold: float = 0.7,
+    simhash_max_hamming: int | None = None,
+    id_column: str = "row_id",
+) -> rd.Dataset:
+    """Score candidate pairs and keep those passing EITHER the
+    estimated-Jaccard threshold or (when enabled) the SimHash Hamming
+    bound — the two verifiers catch different failure modes (Jaccard:
+    set overlap; SimHash: weighted bit agreement)."""
+    import pyarrow.compute as pc
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    pair_tbl = dataset_to_table(
+        pairs,
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
+    )
+    if pair_tbl.num_rows == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "est_jaccard": pa.array([], type=pa.float64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                    "est_containment": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                pair_tbl["id_a"].to_numpy(zero_copy_only=False),
+                pair_tbl["id_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    store_ref = collect_signature_store(
+        signatures, cand_ids, id_column=id_column
+    )
+    scored = rd.from_arrow(pair_tbl).map_batches(
+        PairVerifier,
+        fn_constructor_kwargs={"store_ref": store_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def _keep(t: pa.Table) -> pa.Table:
+        ok = pc.greater_equal(t["est_jaccard"], threshold)
+        if simhash_max_hamming is not None:
+            ok = pc.or_(
+                ok, pc.less_equal(t["hamming"], simhash_max_hamming)
+            )
+        return t.filter(ok)
+
+    return scored.map_batches(_keep, batch_format="pyarrow")

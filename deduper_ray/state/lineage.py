@@ -1,0 +1,122 @@
+"""Stage-boundary checkpointing with per-stage lineage + metrics.
+
+The north rule requires "resumable from checkpoint with per-partition
+lineage + metrics" (BASELINE.json:14). The reference's only resume
+mechanism is re-consuming the hashes output as the next run's seen set
+(Deduper.kt:135-158) — coarse and manual. Here every pipeline stage
+materializes to its own parquet directory with:
+
+  _lineage.json   {stage, config_hash, inputs, completed_at, rows}
+  _metrics.json   {wall_sec, rows, ...}
+
+A rerun validates config_hash + completeness and SKIPS finished
+stages, reading their parquet instead of recomputing. Outputs are
+written to a temp dir and renamed into place so a crash mid-write
+never leaves a "complete-looking" stage (atomic-rename protocol,
+replacing the reference's .LOCK_ file dance at Persistors.kt:109-142).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+import ray.data as rd
+
+LINEAGE_FILE = "_lineage.json"
+METRICS_FILE = "_metrics.json"
+
+
+def config_hash(obj: Any) -> str:
+    """Stable hash of a (nested) config structure."""
+    return hashlib.sha256(
+        json.dumps(obj, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+def stage_is_complete(stage_dir: str, cfg_hash: str) -> bool:
+    path = os.path.join(stage_dir, LINEAGE_FILE)
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            lineage = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return lineage.get("config_hash") == cfg_hash and lineage.get("complete")
+
+
+def write_stage(
+    ds: rd.Dataset,
+    stage_dir: str,
+    *,
+    stage: str,
+    cfg_hash: str,
+    inputs: list[str],
+    extra_metrics: dict | None = None,
+) -> rd.Dataset:
+    """Write ``ds`` as a checkpointed stage (atomic rename), then return
+    a fresh Dataset reading it back — downstream stages consume the
+    materialized parquet, so a rerun never recomputes this stage."""
+    t0 = time.time()
+    tmp = stage_dir.rstrip("/") + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
+    rows = _count_rows(tmp)
+    wall = time.time() - t0
+    with open(os.path.join(tmp, LINEAGE_FILE), "w") as f:
+        json.dump(
+            {
+                "stage": stage,
+                "config_hash": cfg_hash,
+                "inputs": inputs,
+                "rows": rows,
+                "complete": True,
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            },
+            f,
+            indent=2,
+        )
+    with open(os.path.join(tmp, METRICS_FILE), "w") as f:
+        json.dump({"wall_sec": wall, "rows": rows, **(extra_metrics or {})}, f, indent=2)
+    if os.path.exists(stage_dir):
+        shutil.rmtree(stage_dir)
+    os.replace(tmp, stage_dir)
+    return read_stage(stage_dir)
+
+
+def read_stage(stage_dir: str) -> rd.Dataset:
+    files = sorted(
+        os.path.join(stage_dir, f)
+        for f in os.listdir(stage_dir)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({}))
+    return rd.read_parquet(files)
+
+
+def stage_metrics(stage_dir: str) -> dict:
+    path = os.path.join(stage_dir, METRICS_FILE)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _count_rows(d: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )

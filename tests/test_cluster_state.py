@@ -1,0 +1,79 @@
+"""Union-find, label propagation, suffix array unit tests."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from deduper_ray.functions.suffix import SuffixArray, containment_check
+from deduper_ray.state.unionfind import (
+    UnionFind,
+    cluster_edges,
+    label_propagation,
+)
+
+
+def test_union_find_components():
+    uf = UnionFind()
+    uf.union(1, 2)
+    uf.union(2, 3)
+    uf.union(10, 11)
+    comp = uf.components()
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert 5 not in comp  # untouched nodes are not stored
+
+
+def test_cluster_edges_dataset():
+    edges = rd.from_items(
+        [
+            {"id_a": 0, "id_b": 5},
+            {"id_a": 5, "id_b": 9},
+            {"id_a": 100, "id_b": 200},
+        ]
+    )
+    comp = cluster_edges(edges)
+    assert comp[0] == comp[5] == comp[9] == 0
+    assert comp[100] == comp[200] == 100
+
+
+def test_label_propagation_matches_union_find():
+    rng = np.random.RandomState(0)
+    # two chains + one star
+    edges = (
+        [(i, i + 1) for i in range(0, 8)]
+        + [(20 + i, 20 + i + 1) for i in range(0, 5)]
+        + [(50, 50 + i) for i in range(1, 6)]
+    )
+    ds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    lp = label_propagation(ds).to_pandas()
+    got = dict(zip(lp["row_id"], lp["cluster_id"]))
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    expect = uf.components()
+    assert got == expect
+
+
+def test_suffix_array_contains():
+    sa = SuffixArray(b"the quick brown fox jumps over the lazy dog")
+    assert sa.contains(b"quick brown")
+    assert sa.contains(b"the lazy dog")
+    assert sa.contains(b"t")
+    assert not sa.contains(b"quick browns")
+    assert not sa.contains(b"zebra")
+    assert sa.contains(b"")
+
+
+def test_suffix_array_edge_cases():
+    assert not SuffixArray(b"").contains(b"x")
+    assert SuffixArray(b"aaaa").contains(b"aaa")
+    assert not SuffixArray(b"ab").contains(b"abc")  # pattern longer
+
+
+def test_containment_check():
+    contents = {1: "def f():\n    return 1\n", 2: "# header\ndef f():\n    return 1\n\nprint(f())"}
+    out = containment_check(contents, [(1, 2)])
+    assert out[(1, 2)] is True
+    contents[3] = "completely different"
+    out = containment_check(contents, [(1, 3)])
+    assert out[(1, 3)] is False

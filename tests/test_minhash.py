@@ -1,0 +1,102 @@
+"""Unit tests: shingle/MinHash/SimHash/LSH math vs brute force
+(SURVEY.md §5.2a)."""
+
+import numpy as np
+import pyarrow as pa
+
+from deduper_ray.stages.lsh import BandExploder, band_keys
+from deduper_ray.stages.minhash import (
+    MinHashSigner,
+    exact_jaccard,
+    shingle_hashes,
+)
+
+
+def test_shingle_hashes_match_set_semantics():
+    # same content → same shingle set; k-window count
+    h1 = shingle_hashes(b"abcdefgh_abcdefgh", 4)
+    h2 = shingle_hashes(b"abcdefgh_abcdefgh", 4)
+    assert np.array_equal(h1, h2)
+    # distinct 4-grams of "abcab" + dedup
+    h = shingle_hashes(b"abcabcabc", 3)
+    assert h.size == 3  # {abc, bca, cab}
+
+
+def test_shingle_short_input():
+    assert shingle_hashes(b"ab", 8).size == 1
+    assert shingle_hashes(b"", 8).size == 0
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.RandomState(0)
+    base = "".join(rng.choice(list("abcdefgh "), 2000))
+    # ~25% tail replaced → known-ish overlap
+    other = base[:1500] + "".join(rng.choice(list("abcdefgh "), 500))
+    true_j = exact_jaccard(base, other, 8)
+    signer = MinHashSigner(num_perms=256, shingle_k=8, text_column="t", id_column="i")
+    batch = pa.table({"i": [0, 1], "t": [base, other]})
+    out = signer(batch)
+    sigs = (
+        out["minhash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .reshape(2, 256)
+    )
+    est = (sigs[0] == sigs[1]).mean()
+    assert abs(est - true_j) < 0.1, (est, true_j)
+
+
+def test_identical_docs_identical_signature_and_simhash():
+    signer = MinHashSigner(num_perms=64, shingle_k=8, text_column="t", id_column="i")
+    out = signer(pa.table({"i": [0, 1], "t": ["same text " * 50] * 2}))
+    sigs = (
+        out["minhash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .reshape(2, 64)
+    )
+    assert np.array_equal(sigs[0], sigs[1])
+    assert out["simhash"][0].as_py() == out["simhash"][1].as_py()
+
+
+def test_simhash_hamming_tracks_similarity():
+    rng = np.random.RandomState(1)
+    base = "".join(rng.choice(list("abcdefghij "), 3000))
+    near = base[:2800] + "".join(rng.choice(list("abcdefghij "), 200))
+    far = "".join(rng.choice(list("klmnopqrst "), 3000))
+    signer = MinHashSigner(num_perms=64, shingle_k=8, text_column="t", id_column="i")
+    out = signer(pa.table({"i": [0, 1, 2], "t": [base, near, far]}))
+    s = out["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(s[0], s[1]) < ham(s[0], s[2])
+
+
+def test_band_keys_deterministic_and_band_distinct():
+    sigs = np.arange(256, dtype=np.uint64).reshape(2, 128)
+    k1 = band_keys(sigs, 32)
+    k2 = band_keys(sigs, 32)
+    assert np.array_equal(k1, k2)
+    assert k1.shape == (2, 32)
+    # identical signatures → identical keys in every band
+    same = np.vstack([sigs[0], sigs[0]])
+    ks = band_keys(same, 32)
+    assert np.array_equal(ks[0], ks[1])
+
+
+def test_band_exploder_shapes():
+    K, bands = 128, 32
+    sig = np.arange(K, dtype=np.uint64)
+    batch = pa.table(
+        {
+            "row_id": pa.array([7], type=pa.int64()),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig, type=pa.uint64()), K
+            ),
+        }
+    )
+    out = BandExploder(bands=bands)(batch)
+    assert out.num_rows == bands
+    assert set(out["row_id"].to_pylist()) == {7}
+    assert len(set(out["band_key"].to_pylist())) == bands
+
+
+def test_exact_jaccard_bounds():
+    assert exact_jaccard("hello world " * 10, "hello world " * 10, 8) == 1.0
+    j = exact_jaccard("aaaaaaaaaaaa", "zzzzzzzzzzzz", 8)
+    assert j == 0.0
