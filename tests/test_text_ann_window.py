@@ -1,0 +1,218 @@
+"""Tests: text analysis, ANN search, windowed aggregates, multimodal
+plumbing (over the driver-provided testdata tables where applicable)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from deduper_ray.functions.text import (
+    LangIdScorer,
+    add_fingerprint,
+    add_quality_scores,
+    add_token_count,
+)
+from deduper_ray.stages.ann import brute_force_topk, embedding_neardup
+from deduper_ray.stages.multimodal import (
+    FrameSampler,
+    ImageFeatureExtractor,
+    ImageResizer,
+    make_fake_media_table,
+)
+from deduper_ray.stages.window import (
+    session_windows,
+    sliding_aggregate,
+    tumbling_aggregate,
+)
+
+
+# ---------------- text ----------------
+
+def test_token_count():
+    t = pa.table({"text": ["hello world", "a_b c3 d!", ""]})
+    out = add_token_count(t)
+    assert out["n_tokens"].to_pylist() == [2, 3, 0]
+
+
+def test_quality_scores():
+    t = pa.table({"text": ["The cat and the dog!! 42"]})
+    out = add_quality_scores(t)
+    r = out.to_pylist()[0]
+    assert r["n_chars_q"] == 24
+    assert r["n_digit"] == 2
+    assert r["n_punct"] == 2
+    assert r["n_stopwords"] == 2  # 'the' + 'and' ("The" is case-sensitive-missed)
+    assert 0 < r["alpha_ratio"] < 1
+
+
+def test_lang_id():
+    scorer = LangIdScorer()
+    t = pa.table(
+        {
+            "text": [
+                "the cat and the dog is in that house for now",
+                "der hund und die katze ist nicht mit der maus",
+                "le chat et la maison est pour les amis dans que",
+                "xyzzy plugh 12345",
+            ]
+        }
+    )
+    out = scorer(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "fr", "unknown"]
+
+
+def test_fingerprint():
+    import hashlib
+
+    t = pa.table({"text": ["abc"]})
+    out = add_fingerprint(t)
+    assert out["fingerprint"][0].as_py() == hashlib.md5(b"abc").hexdigest()[:16]
+
+
+# ---------------- ANN ----------------
+
+def _toy_embeddings(n=100, d=16, seed=0):
+    rng = np.random.RandomState(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1), type=pa.float32()), d
+            ),
+        }
+    ), m
+
+
+def test_brute_force_topk_matches_numpy():
+    tbl, m = _toy_embeddings()
+    ds = rd.from_arrow(tbl)
+    qids = np.array([0, 5], dtype=np.int64)
+    out = brute_force_topk(ds, qids, m[qids], k=5).to_pandas()
+    # numpy oracle (float64, matching the engine's internal precision)
+    m = m.astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid in qids:
+        sims = mn @ mn[qid]
+        sims[qid] = -np.inf  # exclude self
+        expect = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        got = out[out["query_id"] == qid].sort_values("rank")["neighbor_id"].values
+        assert list(got) == list(expect)
+
+
+def test_embedding_neardup_finds_planted_pair():
+    tbl, m = _toy_embeddings(n=60, d=16)
+    # plant: vec 59 = vec 3 + tiny noise
+    m2 = m.copy()
+    m2[59] = m2[3] + 0.001
+    t2 = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m2.reshape(-1), type=pa.float32()), 16
+            ),
+        }
+    )
+    out = embedding_neardup(
+        rd.from_arrow(t2), dim=16, cosine_threshold=0.95
+    ).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (3, 59) in pairs
+    assert out[out["id_a"] == 3]["cosine"].iloc[0] > 0.999
+
+
+# ---------------- windows ----------------
+
+def _events(n=1000):
+    rng = np.random.RandomState(1)
+    ts = pa.array(
+        (np.sort(rng.randint(0, 86400, n)) * 1_000_000).astype("int64"),
+        type=pa.int64(),
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "ts": pc.cast(ts, pa.timestamp("us")),
+                "user_id": pa.array(rng.randint(0, 20, n), type=pa.int64()),
+                "event_type": pa.array(
+                    [["click", "view", "buy"][i % 3] for i in range(n)]
+                ),
+                "value": pa.array(rng.random(n), type=pa.float64()),
+            }
+        )
+    )
+
+
+def test_tumbling_counts_total():
+    ev = _events()
+    out = tumbling_aggregate(
+        ev, keys=["event_type"], window_sec=3600
+    ).to_pandas()
+    assert out["n_events"].sum() == 1000
+    assert (out["window_start"] % (3600 * 1_000_000) == 0).all()
+
+
+def test_sliding_multiplicity():
+    ev = _events(200)
+    out = sliding_aggregate(
+        ev, keys=["event_type"], window_sec=3600, step_sec=900
+    ).to_pandas()
+    # each event lands in exactly window/step = 4 windows
+    assert out["n_events"].sum() == 200 * 4
+
+
+def test_session_windows_gap():
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "ts": pc.cast(
+                pa.array(
+                    [0, 60 * 1_000_000, 10_000 * 1_000_000, 0], type=pa.int64()
+                ),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = session_windows(
+        rd.from_arrow(t), key="user_id", gap_sec=1800
+    ).to_pandas()
+    u1 = out[out["user_id"] == 1]
+    assert len(u1) == 2  # 10000s gap splits the session
+    assert len(out[out["user_id"] == 2]) == 1
+
+
+# ---------------- multimodal ----------------
+
+def test_media_plumbing():
+    tbl = make_fake_media_table(20)
+    ds = rd.from_arrow(tbl)
+    feats = ds.map_batches(
+        ImageFeatureExtractor,
+        fn_constructor_kwargs={"dim": 32},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    ).to_pandas()
+    assert len(feats) == 20
+    assert len(feats["feature"].iloc[0]) == 32
+    # determinism: same payload → same features
+    f2 = ImageFeatureExtractor(dim=32)(tbl.slice(0, 5))
+    f1 = ImageFeatureExtractor(dim=32)(tbl.slice(0, 5))
+    assert f1["feature"].to_pylist() == f2["feature"].to_pylist()
+
+
+def test_media_resize_and_frames():
+    tbl = make_fake_media_table(6)
+    resized = ImageResizer(width=224, height=224)(tbl)
+    assert set(resized["meta_width"].to_pylist()) == {224}
+    frames = FrameSampler(num_frames=4)(tbl)
+    assert frames.num_rows == 24
+    assert set(frames["frame_idx"].to_pylist()) == {0, 1, 2, 3}
+
+
+def test_media_real_decoder_raises():
+    import pytest
+
+    tbl = make_fake_media_table(2)
+    with pytest.raises(NotImplementedError):
+        ImageFeatureExtractor(decoder="real")(tbl)
