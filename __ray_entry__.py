@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship exact-dedup pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()``
+gives DuckDB-equivalent SQL with IDENTICAL column names for every
+SQL-expressible query. Ray is initialised by the driver before this
+module is imported — nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +15,204 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: exact dedup of sf0.001 documents (first-occurrence
+    wins on the text hash) — read → hash → groupby → anti-filter."""
+    from deduper_ray.pipelines import queries as q
+
+    return q.dedup_target_docs("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from deduper_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # exact-dedup family (SURVEY §2 O1-O10, S3/S4, K4)
+        "dedup_target_docs": q.dedup_target_docs,
+        "dedup_dupes_langsrc": q.dedup_dupes_langsrc,
+        "dedup_hashes_docs": q.dedup_hashes_docs,
+        "seen_filter_docs": q.seen_filter_docs,
+        "sample_hash_docs": q.sample_hash_docs,
+        # relational coverage (gap table: joins/aggs/sort/set-ops)
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "revenue_by_nation": q.revenue_by_nation,
+        "topk_orders": q.topk_orders,
+        "distinct_event_types": q.distinct_event_types,
+        "union_high_low_value_events": q.union_high_low_value_events,
+        # text analysis
+        "token_count_docs": q.token_count_docs,
+        "quality_docs": q.quality_docs,
+        "lang_id_docs": q.lang_id_docs,
+        "fingerprint_docs": q.fingerprint_docs,
+        # windows
+        "window_tumbling_events": q.window_tumbling_events,
+        "sessionize_events": q.sessionize_events,
+        # near-dup / similarity (non-SQL → rows-only check)
+        "neardup_clusters_docs": q.neardup_clusters_docs,
+        "simhash_docs": q.simhash_docs,
+        "ngram_jaccard_pairs_docs": q.ngram_jaccard_pairs_docs,
+        "ann_topk_embeddings": q.ann_topk_embeddings,
+        "embedding_neardup_pairs": q.embedding_neardup_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dedup_target_docs": """
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d
+            JOIN (
+                SELECT upper(md5(coalesce(text, ''))) AS h,
+                       min(doc_id) AS keep_id
+                FROM documents GROUP BY 1
+            ) k ON upper(md5(coalesce(d.text, ''))) = k.h
+               AND d.doc_id = k.keep_id
+            ORDER BY d.doc_id
+        """,
+        "dedup_dupes_langsrc": """
+            SELECT h AS hash, first_found_row_number,
+                   n_rows - 1 AS dupe_count
+            FROM (
+                SELECT upper(md5(coalesce(lang, '') || ', ' ||
+                              coalesce(source, ''))) AS h,
+                       min(doc_id) AS first_found_row_number,
+                       count(*) AS n_rows
+                FROM documents GROUP BY 1
+            ) t WHERE n_rows > 1 ORDER BY hash
+        """,
+        "dedup_hashes_docs": """
+            SELECT upper(md5(coalesce(text, ''))) AS hash,
+                   count(*) AS n_rows
+            FROM documents GROUP BY 1 ORDER BY hash
+        """,
+        "seen_filter_docs": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE upper(md5(coalesce(text, ''))) NOT IN (
+                SELECT upper(md5(coalesce(text, '')))
+                FROM documents WHERE doc_id % 10 = 0
+            )
+            ORDER BY doc_id
+        """,
+        "sample_hash_docs": """
+            SELECT coalesce(text, '') AS sample_string,
+                   upper(md5(coalesce(text, ''))) AS sample_hash
+            FROM documents ORDER BY doc_id LIMIT 1
+        """,
+        # fixed-decimal columns are integerized (cents) before summing so
+        # the engine and oracle agree bit-for-bit regardless of
+        # summation order
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
+                   sum(round(l_extendedprice * 100)::BIGINT) / 100.0
+                       AS sum_base_price,
+                   sum(round(l_extendedprice * 100)::BIGINT
+                       * (100 - round(l_discount * 100)::BIGINT)) / 10000.0
+                       AS sum_disc_price,
+                   (sum(round(l_discount * 100)::BIGINT) / 100.0) / count(*)
+                       AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "topk_orders": """
+            SELECT row_number() OVER
+                       (ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+                   o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events ORDER BY 1
+        """,
+        "union_high_low_value_events": """
+            SELECT event_id, value FROM events WHERE value > 100.0
+            UNION ALL
+            SELECT event_id, value FROM events WHERE value <= 1.0
+            ORDER BY event_id
+        """,
+        "token_count_docs": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_docs": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                   len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                   len(regexp_extract_all(text,
+                       '\b(the|and|of|to|is|in|that|it|for|with)\b'))
+                       AS n_stopwords,
+                   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
+                       / greatest(length(text), 1) AS alpha_ratio,
+                   len(regexp_extract_all(text,
+                       '\b(the|and|of|to|is|in|that|it|for|with)\b'))::DOUBLE
+                       / greatest(len(regexp_extract_all(text,
+                             '[A-Za-z0-9_]+')), 1) AS stopword_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_id_docs": r"""
+            WITH c AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(text,
+                        '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS en,
+                    len(regexp_extract_all(text,
+                        '\b(der|die|und|das|ist|nicht|ein|mit|von|zu)\b')) AS de,
+                    len(regexp_extract_all(text,
+                        '\b(le|la|les|et|est|pas|une|pour|dans|que)\b')) AS fr,
+                    len(regexp_extract_all(text,
+                        '\b(el|la|los|y|es|no|una|por|con|que)\b')) AS es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+                        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                        WHEN de >= fr AND de >= es THEN 'de'
+                        WHEN fr >= es THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM c ORDER BY doc_id
+        """,
+        "fingerprint_docs": """
+            SELECT doc_id,
+                   substr(md5(coalesce(text, '')), 1, 16) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "window_tumbling_events": """
+            SELECT event_type,
+                   (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
+                   count(*) AS n_events,
+                   sum(round(value * 1000)::BIGINT) / 1000.0 AS sum_value,
+                   (sum(round(value * 1000)::BIGINT) / 1000.0) / count(*)
+                       AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH e AS (
+                SELECT user_id, floor(epoch(ts))::BIGINT AS tsec,
+                       CASE WHEN floor(epoch(ts))::BIGINT
+                                 - lag(floor(epoch(ts))::BIGINT)
+                                   OVER (PARTITION BY user_id ORDER BY ts)
+                                 > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ), s AS (
+                SELECT user_id, tsec,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY tsec
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+                FROM e
+            )
+            SELECT user_id, min(tsec) AS session_start,
+                   max(tsec) AS session_end, count(*) AS n_events
+            FROM s GROUP BY user_id, sess
+            ORDER BY user_id, session_start
+        """,
+    }

@@ -1,0 +1,173 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1) at $RAY_GRAFT_CPUS CPUs (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "files_per_sec": ...}
+
+``--scaling``: runs the headline near-dup pipeline twice in FRESH
+processes (num_cpus=8 then 32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox substitute for the
+N-vs-4N-node criterion, BASELINE.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _headline_neardup(sf_dir: str, out_root: str) -> dict:
+    """Near-dup clustering of the documents table (the north-rule
+    pipeline) — returns docs/sec."""
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduper_ray.config import NearDupConfig
+    from deduper_ray.pipelines.neardup import run_neardup
+
+    cfg = NearDupConfig(
+        text_column="text", shingle_k=8, num_perms=128, bands=32,
+        threshold=0.7, batch_size=512, concurrency=max(2, NUM_CPUS // 4),
+    )
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: t.append_column("row_id", pc.cast(t["doc_id"], pa.int64())),
+        batch_format="pyarrow",
+    )
+    t0 = time.time()
+    res = run_neardup(ds, os.path.join(out_root, "neardup"), cfg, resume=False)
+    dt = time.time() - t0
+    return {"sec": dt, "docs": res.n_docs, "docs_per_sec": res.n_docs / dt,
+            "verified_pairs": res.n_verified_pairs,
+            "clusters": res.n_clusters}
+
+
+def _bench_exact_dedup(sf_dir: str, out_root: str) -> dict:
+    """Exact dedup of lineitem on all columns (600k rows at sf0.1) —
+    the reference-conformant flagship at volume; returns rows/sec."""
+    from deduper_ray.config import DedupeConfig
+    from deduper_ray.pipelines.exact_dedupe import dedupe
+
+    cfg = DedupeConfig(
+        source=os.path.join(sf_dir, "lineitem.parquet"),
+        target_path=os.path.join(out_root, "dedup_target"),
+        hashes_path=os.path.join(out_root, "dedup_hashes"),
+    )
+    t0 = time.time()
+    report = dedupe(cfg)
+    dt = time.time() - t0
+    return {"sec": dt, "rows": report.record_count,
+            "rows_per_sec": report.record_count / dt,
+            "dupes": report.dupe_count}
+
+
+def _bench_queries(sf_dir: str) -> dict:
+    from deduper_ray.pipelines import queries as q
+
+    out = {}
+    for name, fn in (
+        ("q1_pricing_summary", q.q1_pricing_summary),
+        ("revenue_by_nation", q.revenue_by_nation),
+        ("window_tumbling_events", q.window_tumbling_events),
+        ("token_count_docs", q.token_count_docs),
+    ):
+        t0 = time.time()
+        fn(sf_dir)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_bench() -> dict:
+    import shutil
+    import tempfile
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    out_root = tempfile.mkdtemp(prefix="bench_", dir="/tmp")
+    try:
+        # warm the page cache so we measure compute+shuffle, not cold reads
+        import pyarrow.parquet as pq
+
+        for t in ("documents", "lineitem", "events"):
+            pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+
+        nd = _headline_neardup(SF_DIR, out_root)
+        ed = _bench_exact_dedup(SF_DIR, out_root)
+        qs = _bench_queries(SF_DIR)
+        headline = nd["sec"] + ed["sec"]
+        result = {
+            "metric": "neardup+exact dedup wall time (sf docs+lineitem)",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {
+                "neardup_documents": round(nd["sec"], 3),
+                "exact_dedup_lineitem": round(ed["sec"], 3),
+                **qs,
+            },
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "files_per_sec": round(nd["docs_per_sec"], 1),
+            "dedup_rows_per_sec": round(ed["rows_per_sec"], 1),
+            "neardup": {k: round(v, 3) if isinstance(v, float) else v
+                        for k, v in nd.items()},
+        }
+        return result
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+        ray.shutdown()
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    thr_lo = lo["files_per_sec"] + lo["dedup_rows_per_sec"]
+    thr_hi = hi["files_per_sec"] + hi["dedup_rows_per_sec"]
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "sec_8": lo["value"], "sec_32": hi["value"],
+                "files_per_sec_8": lo["files_per_sec"],
+                "files_per_sec_32": hi["files_per_sec"],
+                "dedup_rows_per_sec_8": lo["dedup_rows_per_sec"],
+                "dedup_rows_per_sec_32": hi["dedup_rows_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

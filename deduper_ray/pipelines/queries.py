@@ -1,0 +1,469 @@
+"""Named query pipelines over the testdata tables — the ``queries()``
+registry behind ``__ray_entry__.py``. Every SQL-expressible query has a
+matching oracle in ``oracle_sql()`` with IDENTICAL column names; the
+rest return rows-only-checked results.
+
+Conventions:
+- every callable takes ``sf_dir`` and returns a Dataset / DataFrame /
+  Table;
+- float aggregates are rounded to 6 decimals on BOTH sides (engine and
+  oracle) so value hashes survive summation-order differences;
+- reads prune columns at the source.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from deduper_ray.functions.hashing import add_hash_columns
+from deduper_ray.functions.text import (
+    LangIdScorer,
+    add_fingerprint,
+    add_quality_scores,
+    add_token_count,
+)
+from deduper_ray.functions.util import dataset_to_table
+from deduper_ray.stages.relational import broadcast_join, distinct, top_k
+from deduper_ray.stages.window import session_windows, tumbling_aggregate
+
+HASH_COL = "row_md5"
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _docs_hashed(sf_dir: str, hash_keys: tuple[str, ...]) -> rd.Dataset:
+    """documents + reference row hash; doc_id is the ordinal."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"))
+    return ds.map_batches(
+        lambda t: add_hash_columns(t, hash_keys, hash_col=HASH_COL),
+        batch_format="pyarrow",
+    )
+
+
+def _round6(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype(float).round(6)
+    return df
+
+
+def _cents(arr, scale: int = 100) -> "np.ndarray":
+    """Fixed-decimal doubles → exact integer units (half-away-from-zero,
+    matching DuckDB round()). Summing ints is order-independent, so the
+    engine and the SQL oracle agree bit-for-bit on aggregates."""
+    x = arr.to_numpy(zero_copy_only=False) if hasattr(arr, "to_numpy") else arr
+    x = np.asarray(x, dtype=np.float64) * scale
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+# ----------------------------------------------------------------- dedup
+
+def dedup_target_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup of documents on text (first-occurrence by doc_id):
+    SURVEY O6/O7 over the testdata table."""
+    hashed = _docs_hashed(sf_dir, ("text",))
+    keep = hashed.groupby(HASH_COL).aggregate(Min("doc_id", alias_name="keep_id"))
+    keep_ids = dataset_to_table(keep)["keep_id"]
+    ids_ref = ray.put(pc.unique(keep_ids))
+
+    def _filter(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["doc_id"], value_set=ray.get(ids_ref))
+        ).drop_columns([HASH_COL])
+
+    out = hashed.map_batches(_filter, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_dupes_langsrc(sf_dir: str) -> pd.DataFrame:
+    """Dupe-group summary hashing (lang, source) — real multi-row groups
+    at every SF (SURVEY O9 shape: hash, first_found, dupe_count)."""
+    hashed = _docs_hashed(sf_dir, ("lang", "source"))
+    stats = hashed.groupby(HASH_COL).aggregate(
+        Min("doc_id", alias_name="first_found_row_number"),
+        Count(alias_name="n_rows"),
+    )
+    df = dataset_to_table(stats).to_pandas()
+    df = df[df["n_rows"] > 1].copy()
+    df["dupe_count"] = df["n_rows"] - 1
+    df = df.rename(columns={HASH_COL: "hash"})
+    return (
+        df[["hash", "first_found_row_number", "dupe_count"]]
+        .sort_values("hash")
+        .reset_index(drop=True)
+    )
+
+
+def dedup_hashes_docs(sf_dir: str) -> pd.DataFrame:
+    """Hash-table output (SURVEY K4): distinct text-hash + occurrences."""
+    hashed = _docs_hashed(sf_dir, ("text",))
+    stats = hashed.groupby(HASH_COL).aggregate(Count(alias_name="n_rows"))
+    df = dataset_to_table(stats).to_pandas().rename(columns={HASH_COL: "hash"})
+    return df.sort_values("hash").reset_index(drop=True)
+
+
+def seen_filter_docs(sf_dir: str) -> pd.DataFrame:
+    """Incremental/seen-hash anti-filter (SURVEY S3/O8): the seen set is
+    the hashes of doc_id % 10 == 0; surviving rows pass through."""
+    hashed = _docs_hashed(sf_dir, ("text",))
+    def _every_tenth(t: pa.Table) -> pa.Table:
+        mask = t["doc_id"].to_numpy(zero_copy_only=False) % 10 == 0
+        return t.filter(pa.array(mask)).select([HASH_COL])
+
+    seen_tbl = dataset_to_table(
+        hashed.map_batches(_every_tenth, batch_format="pyarrow")
+    )
+    seen_ref = ray.put(pc.unique(seen_tbl[HASH_COL]))
+
+    def _anti(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(t[HASH_COL], value_set=ray.get(seen_ref)))
+        return t.filter(mask).drop_columns([HASH_COL])
+
+    out = hashed.map_batches(_anti, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sample_hash_docs(sf_dir: str) -> pd.DataFrame:
+    """First-row probe (SURVEY S4 getSampleHash)."""
+    from deduper_ray.functions.hashing import md5_hex_array, stringify_columns
+
+    first = dataset_to_table(
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        .sort("doc_id")
+        .limit(1)
+    )
+    joined = stringify_columns(first, ("text",))
+    return pd.DataFrame(
+        {
+            "sample_string": [joined[0].as_py()],
+            "sample_hash": [md5_hex_array(joined)[0].as_py()],
+        }
+    )
+
+
+# ----------------------------------------------------------- aggregates
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped grouped aggregate over lineitem (grouped
+    aggregation coverage; gap table 'Grouped aggregations')."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def _derive(t: pa.Table) -> pa.Table:
+        # integerize the fixed-2-decimal columns: exact int sums are
+        # summation-order independent (bit-exact vs the SQL oracle)
+        qty_c = _cents(t["l_quantity"])
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": pa.array(qty_c, type=pa.int64()),
+                "price_c": pa.array(price_c, type=pa.int64()),
+                "disc_price_u": pa.array(
+                    price_c * (100 - disc_c), type=pa.int64()
+                ),
+                "disc_c": pa.array(disc_c, type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="s_qty"),
+            Sum("price_c", alias_name="s_price"),
+            Sum("disc_price_u", alias_name="s_disc_price"),
+            Sum("disc_c", alias_name="s_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = dataset_to_table(out).to_pandas()
+    df["sum_qty"] = df["s_qty"] / 100.0
+    df["sum_base_price"] = df["s_price"] / 100.0
+    df["sum_disc_price"] = df["s_disc_price"] / 10000.0
+    df["avg_disc"] = (df["s_disc"] / 100.0) / df["count_order"]
+    return (
+        df[
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "avg_disc", "count_order"]
+        ]
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer ⋈ nation via BROADCAST joins (dimension sides
+    ride the object store once; no shuffle — gap table 'Joins')."""
+    import pyarrow.parquet as pq
+
+    customer = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "price_c": pa.array(_cents(t["o_totalprice"]), type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(
+        orders, customer.rename(columns={"c_custkey": "o_custkey"}), "o_custkey"
+    )
+    joined = broadcast_join(
+        joined,
+        nation.rename(columns={"n_nationkey": "c_nationkey"}),
+        "c_nationkey",
+    )
+    out = joined.groupby("n_name").aggregate(
+        Sum("price_c", alias_name="s_price"),
+        Count(alias_name="n_orders"),
+    )
+    df = dataset_to_table(out).to_pandas()
+    df["revenue"] = df["s_price"] / 100.0
+    return (
+        df[["n_name", "revenue", "n_orders"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+def topk_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-10 orders by totalprice (partial-top-k merge, no global
+    sort; gap table 'Sort / top-k / limit')."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+    out = top_k(
+        ds, 10, sort_keys=["o_totalprice", "o_orderkey"],
+        descending=[True, False],
+    ).to_pandas()
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "o_orderkey", "o_totalprice"]]
+
+
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    df = dataset_to_table(distinct(ds, ["event_type"])).to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def union_high_low_value_events(sf_dir: str) -> pd.DataFrame:
+    """Set-op coverage: union of two disjoint filtered streams equals a
+    single-pass filter (gap table 'Set ops')."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "value"]
+    )
+    hi = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["value"], 100.0)),
+        batch_format="pyarrow",
+    )
+    lo = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t["value"], 1.0)),
+        batch_format="pyarrow",
+    )
+    out = hi.union(lo).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------- text
+
+def token_count_docs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: add_token_count(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_docs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: add_quality_scores(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # ratios stay unrounded: both sides divide identical int64 operands,
+    # so the IEEE doubles are bit-equal (rounding would REINTRODUCE
+    # half-even-vs-half-away mismatches at exact .5 boundaries)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_id_docs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        LangIdScorer,
+        fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()[["doc_id", "lang_pred"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: add_fingerprint(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# -------------------------------------------------------------- windows
+
+def window_tumbling_events(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "value_m", pa.array(_cents(t["value"], 1000), type=pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    out = tumbling_aggregate(
+        ds, keys=["event_type"], window_sec=3600, value_column="value_m"
+    )
+    df = dataset_to_table(out).to_pandas()
+    df["window_start"] = (df["window_start"] // 1_000_000).astype(np.int64)
+    df["sum_value"] = df["sum_value"] / 1000.0
+    df["avg_value"] = df["sum_value"] / df["n_events"]
+    return (
+        df[["event_type", "window_start", "n_events", "sum_value", "avg_value"]]
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+def sessionize_events(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    out = session_windows(ds, key="user_id", gap_sec=1800).to_pandas()
+    return (
+        out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+
+
+# -------------------------------------------- near-dup / similarity (rows-only)
+
+def neardup_clusters_docs(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup clustering of documents (north-rule pipeline
+    over the testdata table; non-SQL)."""
+    import tempfile
+
+    from deduper_ray.config import NearDupConfig
+    from deduper_ray.pipelines.neardup import run_neardup
+
+    cfg = NearDupConfig(
+        text_column="text", shingle_k=8, num_perms=128, bands=32,
+        threshold=0.7,
+    )
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("row_id", pc.cast(t["doc_id"], pa.int64())),
+        batch_format="pyarrow",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        res = run_neardup(ds, os.path.join(tmp, "nd"), cfg, resume=False)
+        cl = res.clusters().to_pandas()
+    return cl.sort_values("row_id").reset_index(drop=True)
+
+
+def simhash_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-doc SimHash fingerprint (int64 bit-view; non-SQL)."""
+    from deduper_ray.stages.minhash import MinHashSigner
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs={
+            "num_perms": 16, "shingle_k": 8,
+            "text_column": "text", "id_column": "doc_id",
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    out["simhash"] = (
+        out["simhash"].to_numpy().astype(np.uint64).view(np.int64)
+    )
+    return (
+        out[["doc_id", "simhash", "n_shingles"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def ngram_jaccard_pairs_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram Jaccard for the 50×50 leading doc block (brute-force
+    pairwise over a small slice; non-SQL — oracle is the math itself)."""
+    import pyarrow.parquet as pq
+
+    from deduper_ray.stages.minhash import exact_jaccard
+
+    docs = pq.read_table(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).to_pandas().head(50)
+    rows = []
+    texts = docs["text"].tolist()
+    ids = docs["doc_id"].tolist()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jac = exact_jaccard(texts[i], texts[j], 8)
+            if jac >= 0.2:
+                rows.append(
+                    {"id_a": ids[i], "id_b": ids[j], "jaccard": round(jac, 6)}
+                )
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-5 for the first 5 vectors as queries
+    (similarity-search baseline; non-SQL rows-only — float ranking)."""
+    import pyarrow.parquet as pq
+
+    from deduper_ray.stages.ann import brute_force_topk
+
+    tbl = pq.read_table(_t(sf_dir, "embeddings"))
+    d = len(tbl["embedding"][0])
+    q = np.stack(tbl["embedding"].to_pylist()[:5]).astype(np.float64)
+    qids = tbl["vec_id"].to_numpy(zero_copy_only=False)[:5]
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    out = brute_force_topk(ds, qids, q, k=5).to_pandas()
+    out["score"] = out["score"].round(6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Hyperplane-LSH + exact-cosine near-dup pairs over embeddings
+    (non-SQL)."""
+    import pyarrow.parquet as pq
+
+    from deduper_ray.stages.ann import embedding_neardup
+
+    tbl = pq.read_table(_t(sf_dir, "embeddings"))
+    d = len(tbl["embedding"][0])
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    out = embedding_neardup(ds, dim=d, cosine_threshold=0.95).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -1,0 +1,122 @@
+"""Relational building blocks: joins, distinct, top-k.
+
+Join strategy (SURVEY.md §2.5 gap table; ray_guide "Joins and lookups"):
+- ``broadcast_join``: the dimension side rides the object store once
+  (``ray.put``), each actor merges per batch with a pandas hash join.
+  No shuffle. The right choice whenever one side fits in worker heap —
+  dimension tables, cluster maps, seen-sets.
+- ``partitioned_join``: both sides large → Ray's hash-partitioned
+  ``Dataset.join`` (all-to-all on the key). Use only when broadcast is
+  impossible; key skew should be pre-checked with a count aggregate.
+- ``top_k``: per-block partial top-k inside map_batches, then a final
+  k-merge on the driver — never a full global sort for a k-row answer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+# Per-worker-process cache of fetched broadcast sides. ray.get on a
+# local object is cheap, but a pandas payload still deserializes per
+# call — the cache makes that once per worker process instead of once
+# per batch.
+_BROADCAST_CACHE: dict[bytes, pd.DataFrame] = {}
+
+
+def _fetch_broadcast(ref: ray.ObjectRef) -> pd.DataFrame:
+    key = ref.binary()
+    df = _BROADCAST_CACHE.get(key)
+    if df is None:
+        df = _BROADCAST_CACHE[key] = ray.get(ref)
+    return df
+
+
+def broadcast_join(
+    left: rd.Dataset,
+    right: pd.DataFrame | pa.Table,
+    on: list[str] | str,
+    *,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Join ``left`` (big, streamed) with ``right`` (small, broadcast).
+
+    Deliberately STATELESS tasks, not an actor pool: chained joins as
+    actor pools each reserve ``concurrency`` CPUs and can deadlock a
+    small cluster (pools starving the read/shuffle stages); stateless
+    tasks share the CPU pool elastically, and the per-process cache
+    gives the same fetch-once behavior an actor would.
+    """
+    if isinstance(right, pa.Table):
+        right = right.to_pandas()
+    on = [on] if isinstance(on, str) else list(on)
+    right_ref = ray.put(right)
+
+    def _join(batch: pd.DataFrame) -> pd.DataFrame:
+        r = _fetch_broadcast(right_ref)
+        return batch.merge(r, on=on, how=how, suffixes=("", "_r"))
+
+    return left.map_batches(_join, batch_format="pandas")
+
+
+def partitioned_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str] | str,
+    *,
+    how: str = "inner",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Large×large hash-partitioned join (one all-to-all per side)."""
+    on = (on,) if isinstance(on, str) else tuple(on)
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=on,
+    )
+
+
+def top_k(
+    ds: rd.Dataset,
+    k: int,
+    *,
+    sort_keys: list[str],
+    descending: list[bool] | bool = True,
+) -> pa.Table:
+    """Global top-k without a global sort: per-block partial top-k
+    (vectorized pandas nsmallest/nlargest-equivalent via sort_values
+    head), then a driver merge over ≤ #blocks × k rows."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_keys)
+    ascending = [not d for d in descending]
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(sort_keys, ascending=ascending).head(k)
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    cand = dataset_to_table(
+        ds.map_batches(_partial, batch_format="pandas")
+    ).to_pandas()
+    out = cand.sort_values(sort_keys, ascending=ascending).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def distinct(ds: rd.Dataset, columns: list[str]) -> rd.Dataset:
+    """Distinct rows over ``columns``: batch-local dedup first (cheap,
+    shrinks the shuffle), then the native groupby-count collapse."""
+    from ray.data.aggregate import Count
+
+    def _local(t: pa.Table) -> pa.Table:
+        df = t.select(columns).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pre = ds.map_batches(_local, batch_format="pyarrow")
+    agg = pre.groupby(columns).aggregate(Count(alias_name="_n"))
+    return agg.map_batches(lambda t: t.select(columns), batch_format="pyarrow")
