@@ -25,30 +25,38 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# north-rule corpus size (BASELINE.md §4: 10^5-10^6 rows, deterministic
+# synthetic code_files per FIXTURES.md F1; cached across runs/processes)
+BENCH_NDOCS = int(os.environ.get("BENCH_NDOCS", "100000"))
 
 
-def _headline_neardup(sf_dir: str, out_root: str) -> dict:
-    """Near-dup clustering of the documents table (the north-rule
-    pipeline) — returns docs/sec."""
-    import ray.data as rd
-    import pyarrow as pa
-    import pyarrow.compute as pc
+def _code_files_path() -> str:
+    """Deterministic synthetic code_files corpus, generated once and
+    cached in /tmp (same seed → byte-identical across processes)."""
+    path = f"/tmp/graft_code_files_{BENCH_NDOCS}_seed42.parquet"
+    if not os.path.exists(path):
+        from deduper_ray.sources.synth import make_code_files
 
+        tmp = path + ".tmp"
+        make_code_files(tmp, n_rows=BENCH_NDOCS, seed=42)
+        os.replace(tmp, path)
+    return path
+
+
+def _headline_neardup(out_root: str) -> dict:
+    """Near-dup clustering of the synthetic code_files corpus (the
+    north-rule pipeline) — returns files/sec."""
     from deduper_ray.config import NearDupConfig
     from deduper_ray.pipelines.neardup import run_neardup
 
     cfg = NearDupConfig(
-        text_column="text", shingle_k=8, num_perms=128, bands=32,
-        threshold=0.7, batch_size=512, concurrency=max(2, NUM_CPUS // 4),
+        text_column="content", shingle_k=8, num_perms=128, bands=32,
+        threshold=0.7, batch_size=512, concurrency=max(2, NUM_CPUS - 2),
     )
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).map_batches(
-        lambda t: t.append_column("row_id", pc.cast(t["doc_id"], pa.int64())),
-        batch_format="pyarrow",
-    )
+    src = _code_files_path()
     t0 = time.time()
-    res = run_neardup(ds, os.path.join(out_root, "neardup"), cfg, resume=False)
+    res = run_neardup(src, os.path.join(out_root, "neardup"), cfg,
+                      resume=False)
     dt = time.time() - t0
     return {"sec": dt, "docs": res.n_docs, "docs_per_sec": res.n_docs / dt,
             "verified_pairs": res.n_verified_pairs,
@@ -112,8 +120,9 @@ def run_bench() -> dict:
 
         for t in ("documents", "lineitem", "events"):
             pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+        pq.read_table(_code_files_path())
 
-        nd = _headline_neardup(SF_DIR, out_root)
+        nd = _headline_neardup(out_root)
         ed = _bench_exact_dedup(SF_DIR, out_root)
         qs = _bench_queries(SF_DIR)
         headline = nd["sec"] + ed["sec"]

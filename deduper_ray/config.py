@@ -83,7 +83,10 @@ class NearDupConfig:
     max_pairs_per_bucket: int = 2000
     seed: int = 42
     batch_size: int = 256
-    concurrency: int | tuple[int, int] = 4
+    # autoscaling pool (min, max): min 1 so the pool never starves the
+    # upstream reader of CPUs on a small cluster (a fixed-size pool
+    # that reserves every CPU deadlocks the pipeline)
+    concurrency: int | tuple[int, int] = (1, 8)
 
     @property
     def rows_per_band(self) -> int:

@@ -64,7 +64,7 @@ def build_hashed_dataset(cfg: DedupeConfig) -> tuple[rd.Dataset, list[str]]:
             SeenHashMarker,
             fn_constructor_kwargs={"seen_ref": seen_ref, "hash_col": HASH_COL},
             batch_format="pyarrow",
-            concurrency=4,
+            concurrency=(1, 4),
         )
     else:
         ds = ds.map_batches(mark_not_seen, batch_format="pyarrow")
@@ -170,7 +170,7 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
             DropFilter,
             fn_constructor_kwargs={"drops_ref": drops_ref},
             batch_format="pyarrow",
-            concurrency=4,
+            concurrency=(1, 4),
         ).map_batches(
             lambda t: t.drop_columns([HASH_COL, SEEN_FLAG]),
             batch_format="pyarrow",
@@ -221,7 +221,7 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                 DropFilter,
                 fn_constructor_kwargs={"drops_ref": drops_ref},
                 batch_format="pyarrow",
-                concurrency=4,
+                concurrency=(1, 4),
             ).map_batches(_hash_rows, batch_format="pyarrow")
         else:
             hashes_ds = stats.map_batches(

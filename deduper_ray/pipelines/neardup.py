@@ -123,13 +123,26 @@ def run_neardup(
         skipped.append("pairs")
         n_cand = -1
     else:
-        cands = candidate_pairs(
+        from deduper_ray.stages.lsh import collect_candidate_pairs
+
+        scanned = candidate_pairs(
             signatures,
             bands=cfg.bands,
             max_pairs_per_bucket=cfg.max_pairs_per_bucket,
             id_column=cfg.id_column,
-        ).materialize()
-        n_cand = cands.count()
+        )
+        cands, n_dropped = collect_candidate_pairs(
+            scanned, max_pairs_per_bucket=cfg.max_pairs_per_bucket
+        )
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LSH bucket cap dropped %d candidate pairs "
+                "(max_pairs_per_bucket=%d)", n_dropped,
+                cfg.max_pairs_per_bucket,
+            )
+        n_cand = cands.num_rows
         scored = verify_pairs(
             cands,
             signatures,

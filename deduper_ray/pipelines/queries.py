@@ -318,7 +318,7 @@ def lang_id_docs(sf_dir: str) -> pd.DataFrame:
         LangIdScorer,
         fn_constructor_kwargs={"text_column": "text"},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     ).to_pandas()[["doc_id", "lang_pred"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -402,7 +402,7 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
             "text_column": "text", "id_column": "doc_id",
         },
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     ).to_pandas()
     out["simhash"] = (
         out["simhash"].to_numpy().astype(np.uint64).view(np.int64)

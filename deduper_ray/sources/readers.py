@@ -43,7 +43,7 @@ def _expand_paths(source: str | list[str]) -> list[str]:
         return sorted(
             os.path.join(source, f)
             for f in os.listdir(source)
-            if f.endswith(".parquet")
+            if f.endswith((".parquet", ".csv", ".txt", ".tsv"))
         )
     if any(c in source for c in "*?["):
         return sorted(_glob.glob(source))
@@ -94,10 +94,33 @@ def read_parquet_with_row_ids(
         schema = schema.append(pa.field(row_id_column, pa.int64()))
         return rd.from_arrow(schema.empty_table())
 
-    plan_rows = [
-        {"path": p.path, "row_group": p.row_group, "offset": p.offset}
-        for p in plan
-    ]
+    # Parallelism: one task per row group is the natural unit (and the
+    # only unit at 100 TB, where inputs have thousands of row groups).
+    # Small inputs with few/monolithic row groups would serialize the
+    # whole pipeline behind 1 block — Ray's output buffering coalesces
+    # even generator yields up to target_max_block_size — so when the
+    # plan is smaller than ``min_tasks`` we split row groups into row
+    # SLICES: each slice task re-decodes its row group and keeps its
+    # slice. The duplicate decode is bounded to exactly the small-input
+    # case where it is cheap.
+    min_tasks = 64
+    slices: list[dict] = []
+    if len(plan) >= min_tasks:
+        for p in plan:
+            slices.append(
+                {"path": p.path, "row_group": p.row_group,
+                 "offset": p.offset, "start": 0, "len": p.num_rows}
+            )
+    else:
+        per_rg = max(1, min_tasks // len(plan))
+        for p in plan:
+            chunk = max(1024, -(-p.num_rows // per_rg))
+            for start in range(0, p.num_rows, chunk):
+                slices.append(
+                    {"path": p.path, "row_group": p.row_group,
+                     "offset": p.offset + start, "start": start,
+                     "len": min(chunk, p.num_rows - start)}
+                )
     cols = list(columns) if columns else None
 
     def _read(batch: pa.Table) -> pa.Table:
@@ -106,14 +129,23 @@ def read_parquet_with_row_ids(
             rg = pq.ParquetFile(task["path"]).read_row_group(
                 task["row_group"], columns=cols
             )
+            part = rg.slice(task["start"], task["len"])
             rid = np.arange(
-                task["offset"], task["offset"] + rg.num_rows, dtype=np.int64
+                task["offset"], task["offset"] + part.num_rows, dtype=np.int64
             )
-            tables.append(rg.append_column(row_id_column, pa.array(rid)))
+            tables.append(part.append_column(row_id_column, pa.array(rid)))
         return pa.concat_tables(tables)
 
-    plan_ds = rd.from_items(plan_rows, override_num_blocks=len(plan_rows))
-    return plan_ds.map_batches(_read, batch_format="pyarrow", batch_size=None)
+    plan_ds = rd.from_items(slices, override_num_blocks=len(slices))
+    # batch_size=1 → exactly one read task per plan slice. The off-unit
+    # num_cpus blocks operator FUSION with downstream map_batches:
+    # fused, a downstream row-based batch_size would bundle the 1-row
+    # PLAN blocks into a single task and serialize the whole pipeline
+    # behind one reader. 0.99 (not 1.01) so reader tasks can still
+    # squeeze in next to a full actor pool on a small CPU budget.
+    return plan_ds.map_batches(
+        _read, batch_format="pyarrow", batch_size=1, num_cpus=0.99
+    )
 
 
 def read_table(
@@ -130,11 +162,23 @@ def read_table(
     full predicate/column pushdown) plus a vectorized copy/cast. Else
     falls back to the deterministic row-group reader.
     """
+    files = _expand_paths(source)
+    if files and files[0].endswith((".csv", ".txt", ".tsv")):
+        # CSV parity mode (reference S2): all-string columns
+        from deduper_ray.sources.csv_io import read_csv_with_row_ids
+
+        delim = "\t" if files[0].endswith(".tsv") else ","
+        ds = read_csv_with_row_ids(
+            files, delimiter=delim, row_id_column=row_id_column
+        )
+        if columns:
+            ds = ds.select_columns(list(columns) + [row_id_column])
+        return ds
     if order_by:
         cols = list(columns) if columns else None
         if cols is not None and order_by not in cols:
             cols = cols + [order_by]
-        ds = rd.read_parquet(_expand_paths(source), columns=cols)
+        ds = rd.read_parquet(files, columns=cols)
         if order_by != row_id_column:
 
             def _ordinal(batch: pa.Table) -> pa.Table:

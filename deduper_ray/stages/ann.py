@@ -101,7 +101,7 @@ def brute_force_topk(
             "id_column": id_column, "vec_column": vec_column,
         },
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),
     )
     # driver-side merge: #blocks × Q × k candidate rows only
     from deduper_ray.functions.util import dataset_to_table
@@ -186,7 +186,7 @@ def embedding_neardup(
     """Near-duplicate embedding pairs: hyperplane-LSH candidates →
     exact cosine verify. Returns (id_a, id_b, cosine)."""
     from deduper_ray.functions.util import dataset_to_table
-    from deduper_ray.stages.lsh import candidate_pairs
+    from deduper_ray.stages.lsh import candidate_pairs, collect_candidate_pairs
 
     signed = embeddings.map_batches(
         HyperplaneSigner,
@@ -195,13 +195,13 @@ def embedding_neardup(
             "id_column": id_column, "vec_column": vec_column,
         },
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     ).materialize()
-    cands = dataset_to_table(
+    cands, _dropped = collect_candidate_pairs(
         candidate_pairs(
             signed, bands=8, max_pairs_per_bucket=max_pairs_per_bucket
         ),
-        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
+        max_pairs_per_bucket=max_pairs_per_bucket,
     )
     if cands.num_rows == 0:
         return pa.table(

@@ -3,27 +3,36 @@
 Shape (SURVEY.md §7.1 step 5):
   signatures (row_id, minhash[K])
     → band explode: one narrow row per (doc, band): (band_key, row_id)
-    → groupby(band_key)                [the LSH shuffle]
-    → per-bucket pair emission with a hard cap (skew guard)
-    → groupby(pair) unique             [dedup pairs found in >1 band]
+    → global sort by band_key            [the one LSH all-to-all]
+    → per-block vectorized run scan emits pairs for interior runs;
+      runs touching a block edge are emitted as FRAGMENTS and stitched
+      on the driver (bounded: ≤ 2 runs per block)
+    → driver dedup (np.unique) of pairs found in >1 band
+
+Why sort+scan instead of groupby().map_groups: Ray's map_groups fires
+one Python call per group — O(docs × bands) interpreter overhead when
+most buckets are singletons — and its sort-based aggregate is several
+times slower than a plain sort. The run scan is numpy over each sorted
+block; singleton runs cost one comparison.
 
 Skew: boilerplate code makes some band buckets huge. A bucket of g
-docs emits g·(g-1)/2 pairs — quadratic. ``max_pairs_per_bucket``
-caps the emission deterministically (ids sorted, adjacent-first
-pair ordering favors pairs likely to be in the same component via
-transitivity through other buckets) and the dropped count is
-returned in the bucket stats so no truncation is silent
-(SURVEY.md §4.2 skew row; FP-Hadoop/Scarlett pattern, PAPERS.md).
+docs emits g·(g-1)/2 pairs — quadratic. ``max_pairs_per_bucket`` caps
+the emission deterministically with a chain+stride pattern (connected
+pairs, so union-find transitivity recovers the full cluster) and the
+dropped count is surfaced via sentinel rows that the caller logs — no
+silent truncation (SURVEY.md §4.2 skew row; FP-Hadoop/Scarlett
+pattern, PAPERS.md).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 
 _BAND_MULT = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 golden-ratio constant
+
+DROPPED_SENTINEL = -1  # id_a == -1 rows carry per-bucket dropped counts in id_b
 
 
 def band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
@@ -47,7 +56,7 @@ class BandExploder:
     """map_batches stage: signature rows → (band_key, row_id) rows
     (bands× row multiplication, but each row is 16 bytes)."""
 
-    def __init__(self, *, bands: int = 16, id_column: str = "row_id"):
+    def __init__(self, *, bands: int = 32, id_column: str = "row_id"):
         self.bands = bands
         self.id_column = id_column
 
@@ -65,7 +74,9 @@ class BandExploder:
         # object blocks); the signed reinterpretation preserves equality
         return pa.table(
             {
-                "band_key": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
+                "band_key": pa.array(
+                    keys.reshape(-1).view(np.int64), type=pa.int64()
+                ),
                 "row_id": pa.array(
                     np.repeat(ids, self.bands), type=pa.int64()
                 ),
@@ -73,43 +84,87 @@ class BandExploder:
         )
 
 
-def _emit_bucket_pairs(group: pa.Table, max_pairs: int) -> pa.Table:
-    ids = np.unique(group["row_id"].to_numpy(zero_copy_only=False))
+def _pairs_for_bucket(ids: np.ndarray, max_pairs: int):
+    """Pairs for one bucket's unique sorted ids; returns (a, b, dropped)."""
     g = ids.size
-    if g < 2:
-        return pa.table(
-            {
-                "id_a": pa.array([], type=pa.int64()),
-                "id_b": pa.array([], type=pa.int64()),
-                "dropped": pa.array([], type=pa.int64()),
-            }
-        )
     total = g * (g - 1) // 2
     if total <= max_pairs:
         iu = np.triu_indices(g, k=1)
-        a, b = ids[iu[0]], ids[iu[1]]
-        dropped = 0
-    else:
-        # deterministic cap: chain + stride pairs connect the bucket
-        # (transitive closure via union-find recovers the full cluster)
-        a_list, b_list = [], []
-        budget = max_pairs
-        stride = 1
-        while budget > 0 and stride < g:
-            m = min(budget, g - stride)
-            a_list.append(ids[:m])
-            b_list.append(ids[stride : stride + m])
-            budget -= m
-            stride += 1
-        a = np.concatenate(a_list)
-        b = np.concatenate(b_list)
-        dropped = total - a.size
+        return ids[iu[0]], ids[iu[1]], 0
+    # deterministic cap: chain + stride pairs keep the bucket connected
+    # (transitive closure via union-find recovers the full cluster)
+    a_list, b_list = [], []
+    budget = max_pairs
+    stride = 1
+    while budget > 0 and stride < g:
+        m = min(budget, g - stride)
+        a_list.append(ids[:m])
+        b_list.append(ids[stride : stride + m])
+        budget -= m
+        stride += 1
+    a = np.concatenate(a_list)
+    b = np.concatenate(b_list)
+    return a, b, total - a.size
+
+
+def _scan_sorted_block(t: pa.Table, max_pairs: int) -> pa.Table:
+    """Vectorized run scan over one band_key-sorted block.
+
+    Interior runs → pairs (+ dropped-count sentinels); first/last runs
+    → fragment rows (kind=1) for driver stitching."""
+    keys = t["band_key"].to_numpy(zero_copy_only=False)
+    ids = t["row_id"].to_numpy(zero_copy_only=False)
+    n = keys.size
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    frag_keys: list[np.ndarray] = []
+    frag_ids: list[np.ndarray] = []
+    dropped_total = 0
+    if n:
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            if i == 0 or i == len(starts) - 1:
+                # block-edge run: may continue in a neighboring block
+                frag_keys.append(keys[s:e])
+                frag_ids.append(ids[s:e])
+                continue
+            if e - s < 2:
+                continue
+            uids = np.unique(ids[s:e])
+            if uids.size < 2:
+                continue
+            a, b, dropped = _pairs_for_bucket(uids, max_pairs)
+            out_a.append(a)
+            out_b.append(b)
+            dropped_total += dropped
+    a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+    fk = np.concatenate(frag_keys) if frag_keys else np.empty(0, dtype=np.int64)
+    fi = np.concatenate(frag_ids) if frag_ids else np.empty(0, dtype=np.int64)
+    kind = np.concatenate(
+        [
+            np.zeros(a.size, dtype=np.int8),
+            np.ones(fk.size, dtype=np.int8),
+            np.full(1 if dropped_total else 0, 2, dtype=np.int8),
+        ]
+    )
     return pa.table(
         {
-            "id_a": pa.array(a, type=pa.int64()),
-            "id_b": pa.array(b, type=pa.int64()),
-            "dropped": pa.array(
-                np.full(a.size, dropped // max(1, a.size), dtype=np.int64)
+            "kind": pa.array(kind),
+            "id_a": pa.array(
+                np.concatenate(
+                    [a, fk, np.full(1 if dropped_total else 0, DROPPED_SENTINEL)]
+                ),
+                type=pa.int64(),
+            ),
+            "id_b": pa.array(
+                np.concatenate(
+                    [b, fi,
+                     np.full(1 if dropped_total else 0, dropped_total)]
+                ),
+                type=pa.int64(),
             ),
         }
     )
@@ -118,55 +173,74 @@ def _emit_bucket_pairs(group: pa.Table, max_pairs: int) -> pa.Table:
 def candidate_pairs(
     signatures: rd.Dataset,
     *,
-    bands: int = 16,
+    bands: int = 32,
     max_pairs_per_bucket: int = 2000,
     id_column: str = "row_id",
 ) -> rd.Dataset:
-    """Signatures → unique candidate (id_a < id_b) pairs."""
-    from ray.data.aggregate import Count
+    """Signatures → candidate (id_a < id_b) pairs, possibly repeated
+    across bands (dedup happens driver-side in the verify stage).
 
+    Returned dataset rows: kind=0 pairs, kind=1 boundary fragments
+    (band_key in id_a, row_id in id_b), kind=2 dropped-count sentinel.
+    Use ``collect_candidate_pairs`` to resolve to a final pair table.
+    """
     exploded = signatures.map_batches(
-        BandExploder,
-        fn_constructor_kwargs={"bands": bands, "id_column": id_column},
+        BandExploder(bands=bands, id_column=id_column),
         batch_format="pyarrow",
-        concurrency=2,
     )
-
-    # The overwhelming majority of band buckets are singletons (no
-    # candidate). A native vectorized count finds the multi-occupancy
-    # buckets; only those go through the per-bucket Python pair
-    # emitter. Without this, map_groups would fire one Python call per
-    # singleton bucket — O(docs×bands) interpreter overhead.
-    import ray
-
-    sizes = exploded.groupby("band_key").aggregate(Count(alias_name="g"))
-    hot = sizes.map_batches(
-        lambda t: t.filter(pc.greater(t["g"], 1)).select(["band_key"]),
+    sorted_ds = exploded.sort("band_key")
+    return sorted_ds.map_batches(
+        lambda t: _scan_sorted_block(t, max_pairs_per_bucket),
         batch_format="pyarrow",
-    ).to_pandas()
-    empty_pairs = pa.schema(
-        [("id_a", pa.int64()), ("id_b", pa.int64())]
-    ).empty_table()
-    if hot.empty:
-        return rd.from_arrow(empty_pairs)
-    hot_ref = ray.put(pa.array(hot["band_key"].to_numpy(), type=pa.int64()))
-
-    def _only_hot(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["band_key"], value_set=ray.get(hot_ref)))
-
-    pairs = (
-        exploded.map_batches(_only_hot, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(
-            lambda g: _emit_bucket_pairs(g, max_pairs_per_bucket),
-            batch_format="pyarrow",
-        )
+        batch_size=None,  # one scan per sorted block — runs stay intact
     )
-    # dedup pairs discovered in multiple bands: native vectorized
-    # aggregate (NOT map_groups — that would call Python once per pair)
-    from ray.data.aggregate import Count
 
-    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
-    return uniq.map_batches(
-        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+
+def collect_candidate_pairs(
+    scanned: rd.Dataset, *, max_pairs_per_bucket: int = 2000
+) -> tuple[pa.Table, int]:
+    """Driver-side resolution: gather pair rows, stitch boundary-run
+    fragments (grouped by band_key, pairs emitted with the same cap),
+    sum dropped counts. Returns (unique pair table, total dropped)."""
+    from deduper_ray.functions.util import dataset_to_table
+
+    tbl = dataset_to_table(
+        scanned,
+        pa.schema(
+            [("kind", pa.int8()), ("id_a", pa.int64()), ("id_b", pa.int64())]
+        ),
     )
+    kind = tbl["kind"].to_numpy(zero_copy_only=False)
+    id_a = tbl["id_a"].to_numpy(zero_copy_only=False)
+    id_b = tbl["id_b"].to_numpy(zero_copy_only=False)
+    pairs_a = [id_a[kind == 0]]
+    pairs_b = [id_b[kind == 0]]
+    dropped = int(id_b[kind == 2].sum())
+    fk, fi = id_a[kind == 1], id_b[kind == 1]
+    if fk.size:
+        order = np.lexsort((fi, fk))
+        fk, fi = fk[order], fi[order]
+        change = np.nonzero(fk[1:] != fk[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [fk.size]))
+        for s, e in zip(starts, ends):
+            uids = np.unique(fi[s:e])
+            if uids.size < 2:
+                continue
+            a, b, d = _pairs_for_bucket(uids, max_pairs_per_bucket)
+            pairs_a.append(a)
+            pairs_b.append(b)
+            dropped += d
+    a = np.concatenate(pairs_a)
+    b = np.concatenate(pairs_b)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    pair_tbl = pa.table(
+        {
+            "id_a": pa.array(lo, type=pa.int64()),
+            "id_b": pa.array(hi, type=pa.int64()),
+        }
+    )
+    from deduper_ray.stages.verify import dedup_pair_table
+
+    return dedup_pair_table(pair_tbl), dropped

@@ -22,14 +22,14 @@ import ray
 import ray.data as rd
 
 
-def collect_signature_store(
+def build_signature_store(
     signatures: rd.Dataset,
     candidate_ids: np.ndarray,
     *,
     id_column: str = "row_id",
-) -> ray.ObjectRef:
+) -> dict:
     """Gather (minhash, simhash, n_shingles) for candidate ids into a
-    dense lookup (sorted ids + matrix), put in the object store once."""
+    dense driver-side lookup (sorted ids + matrix)."""
     import pyarrow.compute as pc
 
     ids_ref = ray.put(pa.array(candidate_ids, type=pa.int64()))
@@ -48,13 +48,24 @@ def collect_signature_store(
         .reshape(-1, K)[order]
         .astype(np.uint64)
     )
-    store = {
+    return {
         "ids": ids[order],
         "sigs": sigs,
         "simhash": tbl["simhash"].to_numpy(zero_copy_only=False)[order].astype(np.uint64),
         "n_shingles": tbl["n_shingles"].to_numpy(zero_copy_only=False)[order],
     }
-    return ray.put(store)
+
+
+def collect_signature_store(
+    signatures: rd.Dataset,
+    candidate_ids: np.ndarray,
+    *,
+    id_column: str = "row_id",
+) -> ray.ObjectRef:
+    """build_signature_store + one object-store put (broadcast form)."""
+    return ray.put(
+        build_signature_store(signatures, candidate_ids, id_column=id_column)
+    )
 
 
 class PairVerifier:
@@ -63,10 +74,13 @@ class PairVerifier:
     Emits per pair: est_jaccard (MinHash agreement fraction),
     hamming (SimHash bit distance), est_containment (est of
     |A∩B| / min(|A|,|B|) from Jaccard + set sizes).
+
+    Accepts the store dict directly (driver-inline scoring) or an
+    ObjectRef (actor-pool broadcast).
     """
 
-    def __init__(self, store_ref: ray.ObjectRef):
-        s = ray.get(store_ref)
+    def __init__(self, store_ref: ray.ObjectRef | dict):
+        s = ray.get(store_ref) if isinstance(store_ref, ray.ObjectRef) else store_ref
         self.ids: np.ndarray = s["ids"]
         self.sigs: np.ndarray = s["sigs"]
         self.simhash: np.ndarray = s["simhash"]
@@ -104,8 +118,27 @@ class PairVerifier:
         )
 
 
+def dedup_pair_table(pair_tbl: pa.Table) -> pa.Table:
+    """Driver-side pair dedup: one np.unique over packed (a<<32|b)-style
+    keys (lexsort on the two columns) — replaces a full shuffle."""
+    if pair_tbl.num_rows == 0:
+        return pair_tbl
+    a = pair_tbl["id_a"].to_numpy(zero_copy_only=False)
+    b = pair_tbl["id_b"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.ones(a.size, dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pa.table(
+        {
+            "id_a": pa.array(a[keep], type=pa.int64()),
+            "id_b": pa.array(b[keep], type=pa.int64()),
+        }
+    )
+
+
 def verify_pairs(
-    pairs: rd.Dataset,
+    pairs: rd.Dataset | pa.Table,
     signatures: rd.Dataset,
     *,
     threshold: float = 0.7,
@@ -120,10 +153,20 @@ def verify_pairs(
 
     from deduper_ray.functions.util import dataset_to_table
 
-    pair_tbl = dataset_to_table(
-        pairs,
-        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
-    )
+    if isinstance(pairs, pa.Table):
+        pair_tbl = pairs
+    else:
+        pair_tbl = dataset_to_table(
+            pairs,
+            pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
+        )
+    if "kind" in pair_tbl.column_names:
+        # raw candidate_pairs() scan output: resolve fragments/sentinels
+        from deduper_ray.stages.lsh import collect_candidate_pairs as _ccp
+        import ray.data as _rd
+
+        pair_tbl, _ = _ccp(_rd.from_arrow(pair_tbl))
+    pair_tbl = dedup_pair_table(pair_tbl)
     if pair_tbl.num_rows == 0:
         return rd.from_arrow(
             pa.table(
@@ -144,15 +187,7 @@ def verify_pairs(
             ]
         )
     )
-    store_ref = collect_signature_store(
-        signatures, cand_ids, id_column=id_column
-    )
-    scored = rd.from_arrow(pair_tbl).map_batches(
-        PairVerifier,
-        fn_constructor_kwargs={"store_ref": store_ref},
-        batch_format="pyarrow",
-        concurrency=2,
-    )
+    store = build_signature_store(signatures, cand_ids, id_column=id_column)
 
     def _keep(t: pa.Table) -> pa.Table:
         ok = pc.greater_equal(t["est_jaccard"], threshold)
@@ -162,4 +197,19 @@ def verify_pairs(
             )
         return t.filter(ok)
 
+    # pairs are driver-resident post-LSH; below ~2M the whole scoring
+    # is a handful of numpy matrix ops — dispatching batches through
+    # Ray would cost more than the work. Above that, broadcast the
+    # store and let an elastic task pool score it.
+    if pair_tbl.num_rows <= 2_000_000:
+        scored = PairVerifier(store)(pair_tbl)
+        return rd.from_arrow(_keep(scored))
+    store_ref = ray.put(store)
+    scored = rd.from_arrow(pair_tbl).map_batches(
+        PairVerifier,
+        fn_constructor_kwargs={"store_ref": store_ref},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=(1, 4),
+    )
     return scored.map_batches(_keep, batch_format="pyarrow")
