@@ -45,7 +45,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q.fingerprint_docs,
         # windows
         "window_tumbling_events": q.window_tumbling_events,
+        "window_sliding_events": q.window_sliding_events,
         "sessionize_events": q.sessionize_events,
+        # sampling
+        "sample_docs": q.sample_docs,
         # near-dup / similarity (non-SQL → rows-only check)
         "neardup_clusters_docs": q.neardup_clusters_docs,
         "simhash_docs": q.simhash_docs,
@@ -194,6 +197,19 @@ def oracle_sql() -> dict[str, str]:
                    (sum(round(value * 1000)::BIGINT) / 1000.0) / count(*)
                        AS avg_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "window_sliding_events": """
+            SELECT event_type,
+                   (floor(epoch(ts) / 900)::BIGINT - g.i) * 900
+                       AS window_start,
+                   count(*) AS n_events,
+                   sum(round(value * 1000)::BIGINT) / 1000.0 AS sum_value
+            FROM events
+            CROSS JOIN (SELECT unnest(range(4)) AS i) g
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sample_docs": """
+            SELECT * FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id
         """,
         "sessionize_events": """
             WITH e AS (

@@ -42,6 +42,9 @@ class DedupeConfig:
     dupes_path: str | None = None
     hashes_path: str | None = None
     include_json: bool = False
+    target_format: str = "parquet"  # "parquet" | "csv" (reference K1/K2)
+    csv_delimiter: str = ","        # reference CsvConfigParser default ','
+    csv_extension: str = "txt"      # reference default extension 'txt'
 
 
 @dataclass(frozen=True)
@@ -83,10 +86,11 @@ class NearDupConfig:
     max_pairs_per_bucket: int = 2000
     seed: int = 42
     batch_size: int = 256
-    # autoscaling pool (min, max): min 1 so the pool never starves the
-    # upstream reader of CPUs on a small cluster (a fixed-size pool
-    # that reserves every CPU deadlocks the pipeline)
-    concurrency: int | tuple[int, int] = (1, 8)
+    # actor-pool sizing; None → auto: (cpus//4, cpus-2). A pool pinned
+    # at full cluster size starves the upstream reader and deadlocks;
+    # min-1 autoscaling ramps too slowly to use the cluster. A quarter
+    # floor keeps both properties.
+    concurrency: int | tuple[int, int] | None = None
 
     @property
     def rows_per_band(self) -> int:

@@ -175,8 +175,18 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
             lambda t: t.drop_columns([HASH_COL, SEEN_FLAG]),
             batch_format="pyarrow",
         )
-        target.write_parquet(cfg.target_path)
-        written["target"] = _count_parquet(cfg.target_path)
+        if cfg.target_format == "csv":
+            # reference K1 CSV target (Persistors.kt:147-179)
+            from deduper_ray.sources.csv_io import write_csv_sink
+
+            write_csv_sink(
+                target, cfg.target_path,
+                delimiter=cfg.csv_delimiter, extension=cfg.csv_extension,
+            )
+            written["target"] = _count_csv(cfg.target_path, cfg.csv_delimiter)
+        else:
+            target.write_parquet(cfg.target_path)
+            written["target"] = _count_parquet(cfg.target_path)
 
     if cfg.dupes_path:
         os.makedirs(cfg.dupes_path, exist_ok=True)
@@ -253,6 +263,19 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                 f"sink '{sink}' wrote {n} rows, expected {expected[sink]}"
             )
     return report
+
+
+def _count_csv(path: str, delimiter: str) -> int:
+    import pyarrow.csv as pacsv
+
+    total = 0
+    for f in os.listdir(path):
+        full = os.path.join(path, f)
+        if os.path.isfile(full) and not f.startswith("_"):
+            total += pacsv.read_csv(
+                full, parse_options=pacsv.ParseOptions(delimiter=delimiter)
+            ).num_rows
+    return total
 
 
 def _count_parquet(path: str) -> int:

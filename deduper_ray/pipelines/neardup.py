@@ -57,6 +57,7 @@ class NearDupResult:
     n_clustered_docs: int
     stages_skipped: list[str] = field(default_factory=list)
     wall_sec: float = 0.0
+    stage_sec: dict = field(default_factory=dict)
 
     def clusters(self) -> rd.Dataset:
         return read_stage(os.path.join(self.out_dir, "clusters"))
@@ -77,6 +78,7 @@ def run_neardup(
     containment: bool = False,
 ) -> NearDupResult:
     t_start = time.time()
+    stage_sec: dict[str, float] = {}
     os.makedirs(out_dir, exist_ok=True)
     chash = config_hash(asdict(cfg))
     skipped: list[str] = []
@@ -96,6 +98,10 @@ def run_neardup(
             )
         else:
             ds = source
+        concurrency = cfg.concurrency
+        if concurrency is None:
+            n = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+            concurrency = (max(1, n // 4), n)
         signed = ds.map_batches(
             MinHashSigner,
             fn_constructor_kwargs={
@@ -108,13 +114,15 @@ def run_neardup(
             },
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=cfg.concurrency,
+            concurrency=concurrency,
         )
         signatures = write_stage(
             signed, sig_dir, stage="signatures", cfg_hash=chash,
             inputs=[src_desc],
         )
+    stage_sec["signatures"] = round(time.time() - t_start, 2)
     n_docs = signatures.count()
+    t_mark = time.time()
 
     # ---- stage 2: LSH candidates + verification ---------------------
     pairs_dir = os.path.join(out_dir, "pairs")
@@ -143,6 +151,8 @@ def run_neardup(
                 cfg.max_pairs_per_bucket,
             )
         n_cand = cands.num_rows
+        stage_sec["candidates"] = round(time.time() - t_mark, 2)
+        t_mark = time.time()
         scored = verify_pairs(
             cands,
             signatures,
@@ -156,7 +166,9 @@ def run_neardup(
             scored, pairs_dir, stage="pairs", cfg_hash=chash,
             inputs=[sig_dir], extra_metrics={"candidate_pairs": n_cand},
         )
+    stage_sec["verify"] = round(time.time() - t_mark, 2)
     n_verified = verified.count()
+    t_mark = time.time()
 
     # ---- optional: suffix-array containment flag --------------------
     if containment and isinstance(source, str) and n_verified:
@@ -190,6 +202,7 @@ def run_neardup(
             cfg_hash=chash, inputs=[pairs_dir],
         )
 
+    stage_sec["cluster"] = round(time.time() - t_mark, 2)
     cl = clusters_ds.to_pandas()
     n_clusters = cl["cluster_id"].nunique() if len(cl) else 0
     result = NearDupResult(
@@ -201,6 +214,7 @@ def run_neardup(
         n_clustered_docs=len(cl),
         stages_skipped=skipped,
         wall_sec=time.time() - t_start,
+        stage_sec=stage_sec,
     )
     with open(os.path.join(out_dir, "report.json"), "w") as f:
         json.dump(asdict(result), f, indent=2)

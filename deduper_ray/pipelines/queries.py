@@ -357,6 +357,47 @@ def window_tumbling_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def window_sliding_events(sf_dir: str) -> pd.DataFrame:
+    """Sliding 1h windows, 15min step, per event_type (membership
+    explosion + native groupby; SURVEY §2.5 'Windows')."""
+    from deduper_ray.stages.window import sliding_aggregate
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "value_m", pa.array(_cents(t["value"], 1000), type=pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    out = sliding_aggregate(
+        ds, keys=["event_type"], window_sec=3600, step_sec=900,
+        value_column="value_m",
+    )
+    df = dataset_to_table(out).to_pandas()
+    df["window_start"] = (df["window_start"] // 1_000_000).astype(np.int64)
+    df["sum_value"] = df["sum_value"] / 1000.0
+    return (
+        df[["event_type", "window_start", "n_events", "sum_value"]]
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+def sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic corpus down-sampling by row-id modulus (SURVEY
+    §2.5 'Sampling': reproducible under any parallelism, unlike
+    random_sample)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"))
+
+    def _mod(t: pa.Table) -> pa.Table:
+        keep = t["doc_id"].to_numpy(zero_copy_only=False) % 10 == 3
+        return t.filter(pa.array(keep))
+
+    out = ds.map_batches(_mod, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def sessionize_events(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
     out = session_windows(ds, key="user_id", gap_sec=1800).to_pandas()

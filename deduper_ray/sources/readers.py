@@ -126,10 +126,28 @@ def read_parquet_with_row_ids(
     def _read(batch: pa.Table) -> pa.Table:
         tables = []
         for task in batch.to_pylist():
-            rg = pq.ParquetFile(task["path"]).read_row_group(
-                task["row_group"], columns=cols
-            )
-            part = rg.slice(task["start"], task["len"])
+            pf = pq.ParquetFile(task["path"])
+            rg_rows = pf.metadata.row_group(task["row_group"]).num_rows
+            if task["start"] == 0 and task["len"] >= rg_rows:
+                part = pf.read_row_group(task["row_group"], columns=cols)
+            else:
+                # slice task: incremental decode with early stop — only
+                # rows up to the slice end are decoded (a plain
+                # read_row_group + slice would decode the whole group
+                # in every slice task)
+                need_end = task["start"] + task["len"]
+                got, seen = [], 0
+                for rb in pf.iter_batches(
+                    batch_size=8192, row_groups=[task["row_group"]],
+                    columns=cols,
+                ):
+                    got.append(rb)
+                    seen += rb.num_rows
+                    if seen >= need_end:
+                        break
+                part = pa.Table.from_batches(got).slice(
+                    task["start"], task["len"]
+                )
             rid = np.arange(
                 task["offset"], task["offset"] + part.num_rows, dtype=np.int64
             )

@@ -58,7 +58,7 @@ def make_real_estate(path: str) -> pa.Table:
                 rows[d][k] = rows[first][k]
     df = pd.DataFrame(rows, columns=RE_COLUMNS)
     table = pa.Table.from_pandas(df, preserve_index=False)
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=2048)
     return table
 
 
@@ -165,7 +165,7 @@ def make_code_files(path: str, n_rows: int = 2000, seed: int = 42) -> pa.Table:
         pa.field("content", pa.large_string()),
         table["content"].cast(pa.large_string()),
     )
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=2048)
     return table
 
 
@@ -201,5 +201,5 @@ def make_tracks(path: str, n_rows: int = 500) -> pa.Table:
         }
     )
     table = pa.Table.from_pandas(df, preserve_index=False)
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=2048)
     return table

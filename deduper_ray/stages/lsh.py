@@ -66,7 +66,7 @@ class BandExploder:
         flat = batch["minhash"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False
         )
-        sigs = flat.reshape(n, K).astype(np.uint64)
+        sigs = flat.reshape(n, K).astype(np.uint64)  # widen for key mixing
         keys = band_keys(sigs, self.bands)  # (n, bands)
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)
         # int64 bit-view: Ray's sort/groupby paths box keys as Python
@@ -141,6 +141,13 @@ def _scan_sorted_block(t: pa.Table, max_pairs: int) -> pa.Table:
             dropped_total += dropped
     a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
     b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+    if a.size:
+        # block-local pair dedup (distributed): pairs repeated across
+        # bands that land in the same sorted block collapse here, so the
+        # driver-side collect sees far fewer rows
+        from deduper_ray.stages.verify import dedup_pairs_arrays
+
+        a, b = dedup_pairs_arrays(a, b)
     fk = np.concatenate(frag_keys) if frag_keys else np.empty(0, dtype=np.int64)
     fi = np.concatenate(frag_ids) if frag_ids else np.empty(0, dtype=np.int64)
     kind = np.concatenate(
@@ -235,12 +242,15 @@ def collect_candidate_pairs(
     b = np.concatenate(pairs_b)
     lo = np.minimum(a, b)
     hi = np.maximum(a, b)
-    pair_tbl = pa.table(
-        {
-            "id_a": pa.array(lo, type=pa.int64()),
-            "id_b": pa.array(hi, type=pa.int64()),
-        }
-    )
-    from deduper_ray.stages.verify import dedup_pair_table
+    from deduper_ray.stages.verify import dedup_pairs_arrays
 
-    return dedup_pair_table(pair_tbl), dropped
+    lo, hi = dedup_pairs_arrays(lo, hi)
+    return (
+        pa.table(
+            {
+                "id_a": pa.array(lo, type=pa.int64()),
+                "id_b": pa.array(hi, type=pa.int64()),
+            }
+        ),
+        dropped,
+    )

@@ -147,8 +147,12 @@ class MinHashSigner:
             n_shingles[i] = sh.size
         cols = {
             self.id_column: batch[self.id_column],
+            # uint32: MinHash values are < 2^31 by construction (mod
+            # Mersenne-31); half the bytes in the parquet checkpoint,
+            # the LSH shuffle and the verify gather
             "minhash": pa.FixedSizeListArray.from_arrays(
-                pa.array(sigs.reshape(-1), type=pa.uint64()), self.K
+                pa.array(sigs.reshape(-1).astype(np.uint32), type=pa.uint32()),
+                self.K,
             ),
             "simhash": pa.array(simhashes, type=pa.uint64()),
             "n_shingles": pa.array(n_shingles, type=pa.int64()),

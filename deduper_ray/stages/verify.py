@@ -46,8 +46,7 @@ def build_signature_store(
     sigs = (
         tbl["minhash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         .reshape(-1, K)[order]
-        .astype(np.uint64)
-    )
+    )  # dtype preserved (uint32) — the verify gather is bandwidth-bound
     return {
         "ids": ids[order],
         "sigs": sigs,
@@ -89,7 +88,19 @@ class PairVerifier:
     def _index(self, ids: np.ndarray) -> np.ndarray:
         return np.searchsorted(self.ids, ids)
 
+    _CHUNK = 1_000_000
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows > self._CHUNK:
+            # chunked: the (rows × K) gathers allocate rows·K·itemsize
+            # twice — monolithic gathers at ~10M rows thrash the
+            # allocator (measured 8× slower than 1M chunks)
+            return pa.concat_tables(
+                [
+                    self(batch.slice(i, self._CHUNK))
+                    for i in range(0, batch.num_rows, self._CHUNK)
+                ]
+            )
         a = batch["id_a"].to_numpy(zero_copy_only=False)
         b = batch["id_b"].to_numpy(zero_copy_only=False)
         ia, ib = self._index(a), self._index(b)
@@ -118,21 +129,39 @@ class PairVerifier:
         )
 
 
-def dedup_pair_table(pair_tbl: pa.Table) -> pa.Table:
-    """Driver-side pair dedup: one np.unique over packed (a<<32|b)-style
-    keys (lexsort on the two columns) — replaces a full shuffle."""
-    if pair_tbl.num_rows == 0:
-        return pair_tbl
-    a = pair_tbl["id_a"].to_numpy(zero_copy_only=False)
-    b = pair_tbl["id_b"].to_numpy(zero_copy_only=False)
+def dedup_pairs_arrays(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unique (a, b) pairs. Fast path packs both ids into one uint64
+    (single-key np.unique, several× faster than a 2-key lexsort) when
+    ids fit in 32 bits; falls back to lexsort otherwise (ids at
+    10^12-row scale exceed 2^32)."""
+    if a.size == 0:
+        return a, b
+    if a.max() < (1 << 32) and b.max() < (1 << 32) and a.min() >= 0:
+        packed = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        packed = np.unique(packed)
+        return (
+            (packed >> np.uint64(32)).astype(np.int64),
+            (packed & np.uint64(0xFFFFFFFF)).astype(np.int64),
+        )
     order = np.lexsort((b, a))
     a, b = a[order], b[order]
     keep = np.ones(a.size, dtype=bool)
     keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep], b[keep]
+
+
+def dedup_pair_table(pair_tbl: pa.Table) -> pa.Table:
+    """Driver-side pair dedup — replaces a full shuffle."""
+    if pair_tbl.num_rows == 0:
+        return pair_tbl
+    a, b = dedup_pairs_arrays(
+        pair_tbl["id_a"].to_numpy(zero_copy_only=False),
+        pair_tbl["id_b"].to_numpy(zero_copy_only=False),
+    )
     return pa.table(
         {
-            "id_a": pa.array(a[keep], type=pa.int64()),
-            "id_b": pa.array(b[keep], type=pa.int64()),
+            "id_a": pa.array(a, type=pa.int64()),
+            "id_b": pa.array(b, type=pa.int64()),
         }
     )
 
@@ -197,19 +226,37 @@ def verify_pairs(
             )
         return t.filter(ok)
 
-    # pairs are driver-resident post-LSH; below ~2M the whole scoring
-    # is a handful of numpy matrix ops — dispatching batches through
-    # Ray would cost more than the work. Above that, broadcast the
-    # store and let an elastic task pool score it.
-    if pair_tbl.num_rows <= 2_000_000:
+    # Small pair sets: score inline on the driver (one numpy op beats a
+    # Ray dispatch). Large sets: the signature gather is
+    # memory-bandwidth bound (pairs × K × 8 bytes twice), so fan it out
+    # as STATELESS tasks over the broadcast store — elastic CPU use,
+    # store deserialized once per worker process via the cache.
+    if pair_tbl.num_rows <= 1_000_000:
         scored = PairVerifier(store)(pair_tbl)
         return rd.from_arrow(_keep(scored))
     store_ref = ray.put(store)
-    scored = rd.from_arrow(pair_tbl).map_batches(
-        PairVerifier,
-        fn_constructor_kwargs={"store_ref": store_ref},
-        batch_format="pyarrow",
-        batch_size=65536,
-        concurrency=(1, 4),
+
+    def _score(batch: pa.Table) -> pa.Table:
+        key = store_ref.binary()
+        verifier = _VERIFIER_CACHE.get(key)
+        if verifier is None:
+            verifier = _VERIFIER_CACHE[key] = PairVerifier(store_ref)
+        return _keep(verifier(batch))
+
+    # one block per slice (no repartition shuffle): from_arrow over a
+    # list of table slices makes each slice its own task input. The
+    # task pool is CAPPED at 8: scoring is a memory-bandwidth-bound
+    # gather, and concurrency beyond ~8 on one memory subsystem
+    # reverse-scales (measured 22s at 30 tasks vs 7s at 6); on a
+    # multi-node cluster the cap applies per job, with per-node
+    # bandwidth restoring scaling.
+    chunk = max(262_144, -(-pair_tbl.num_rows // 16))
+    slices = [
+        pair_tbl.slice(i, chunk) for i in range(0, pair_tbl.num_rows, chunk)
+    ]
+    return rd.from_arrow(slices).map_batches(
+        _score, batch_format="pyarrow", batch_size=None, concurrency=8
     )
-    return scored.map_batches(_keep, batch_format="pyarrow")
+
+
+_VERIFIER_CACHE: dict[bytes, "PairVerifier"] = {}

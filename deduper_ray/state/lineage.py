@@ -59,15 +59,18 @@ def write_stage(
     inputs: list[str],
     extra_metrics: dict | None = None,
 ) -> rd.Dataset:
-    """Write ``ds`` as a checkpointed stage (atomic rename), then return
-    a fresh Dataset reading it back — downstream stages consume the
-    materialized parquet, so a rerun never recomputes this stage."""
+    """Checkpoint ``ds`` (atomic rename) and return the MATERIALIZED
+    in-memory dataset: downstream stages consume object-store blocks
+    (spilled to disk under pressure) instead of re-reading the parquet;
+    the parquet copy exists for resume. A rerun that skips this stage
+    reads the parquet via ``read_stage``."""
     t0 = time.time()
     tmp = stage_dir.rstrip("/") + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
-    ds.write_parquet(tmp)
+    mat = ds.materialize()
+    mat.write_parquet(tmp)
     rows = _count_rows(tmp)
     wall = time.time() - t0
     with open(os.path.join(tmp, LINEAGE_FILE), "w") as f:
@@ -88,7 +91,7 @@ def write_stage(
     if os.path.exists(stage_dir):
         shutil.rmtree(stage_dir)
     os.replace(tmp, stage_dir)
-    return read_stage(stage_dir)
+    return mat
 
 
 def read_stage(stage_dir: str) -> rd.Dataset:
