@@ -45,6 +45,12 @@ class DedupeConfig:
     target_format: str = "parquet"  # "parquet" | "csv" (reference K1/K2)
     csv_delimiter: str = ","        # reference CsvConfigParser default ','
     csv_extension: str = "txt"      # reference default extension 'txt'
+    # "broadcast": narrow groupby stats + broadcast drop-set anti-filter
+    #   (default; assumes dupes ≪ rows, same bound the reference's
+    #   in-heap dupeMap accepts)
+    # "shuffle": grouped first-wins over full rows — one wide all-to-all,
+    #   no driver state; for dupe-heavy corpora
+    dedupe_strategy: str = "broadcast"
 
 
 @dataclass(frozen=True)

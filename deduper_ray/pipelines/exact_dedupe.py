@@ -165,16 +165,26 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
     written = {}
     if cfg.target_path:
         os.makedirs(cfg.target_path, exist_ok=True)
-        drops_ref = ray.put(drop_row_ids(dupes_df))
-        target = hashed.map_batches(
-            DropFilter,
-            fn_constructor_kwargs={"drops_ref": drops_ref},
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        ).map_batches(
-            lambda t: t.drop_columns([HASH_COL, SEEN_FLAG]),
-            batch_format="pyarrow",
-        )
+        if cfg.dedupe_strategy == "shuffle":
+            # dupe-heavy path: grouped first-wins over full rows — no
+            # driver-resident drop set (stages/exact.py dedupe_shuffle)
+            from deduper_ray.stages.exact import dedupe_shuffle
+
+            target = dedupe_shuffle(hashed).map_batches(
+                lambda t: t.drop_columns([HASH_COL, SEEN_FLAG]),
+                batch_format="pyarrow",
+            )
+        else:
+            drops_ref = ray.put(drop_row_ids(dupes_df))
+            target = hashed.map_batches(
+                DropFilter,
+                fn_constructor_kwargs={"drops_ref": drops_ref},
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            ).map_batches(
+                lambda t: t.drop_columns([HASH_COL, SEEN_FLAG]),
+                batch_format="pyarrow",
+            )
         if cfg.target_format == "csv":
             # reference K1 CSV target (Persistors.kt:147-179)
             from deduper_ray.sources.csv_io import write_csv_sink

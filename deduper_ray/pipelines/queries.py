@@ -456,8 +456,10 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def ngram_jaccard_pairs_docs(sf_dir: str) -> pd.DataFrame:
-    """Exact n-gram Jaccard for the 50×50 leading doc block (brute-force
-    pairwise over a small slice; non-SQL — oracle is the math itself)."""
+    """Exact n-gram (k=4 char-shingle) Jaccard for the 50×50 leading doc
+    block (brute-force pairwise over a small slice; non-SQL — the
+    oracle is the math itself). k=4 so the shared-vocabulary documents
+    produce a non-trivial overlap distribution."""
     import pyarrow.parquet as pq
 
     from deduper_ray.stages.minhash import exact_jaccard
@@ -470,7 +472,7 @@ def ngram_jaccard_pairs_docs(sf_dir: str) -> pd.DataFrame:
     ids = docs["doc_id"].tolist()
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
-            jac = exact_jaccard(texts[i], texts[j], 8)
+            jac = exact_jaccard(texts[i], texts[j], 4)
             if jac >= 0.2:
                 rows.append(
                     {"id_a": ids[i], "id_b": ids[j], "jaccard": round(jac, 6)}
