@@ -47,8 +47,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling_events": q.window_tumbling_events,
         "window_sliding_events": q.window_sliding_events,
         "sessionize_events": q.sessionize_events,
-        # sampling
+        # sampling / set ops / sketches
         "sample_docs": q.sample_docs,
+        "intersect_click_buy_users": q.intersect_click_buy_users,
+        "approx_distinct_users": q.approx_distinct_users,
         # near-dup / similarity (non-SQL → rows-only check)
         "neardup_clusters_docs": q.neardup_clusters_docs,
         "simhash_docs": q.simhash_docs,
@@ -210,6 +212,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_docs": """
             SELECT * FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id
+        """,
+        "intersect_click_buy_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id
         """,
         "sessionize_events": """
             WITH e AS (

@@ -384,6 +384,46 @@ def window_sliding_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def intersect_click_buy_users(sf_dir: str) -> pd.DataFrame:
+    """Set-op INTERSECT: users with both 'click' and 'purchase' events —
+    distinct per side, small side broadcast as a semi-join filter
+    (gap table 'Set ops': intersect = broadcast semi-join)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    def _side(ev_type: str) -> pa.Table:
+        from deduper_ray.stages.relational import distinct
+
+        filtered = ds.map_batches(
+            lambda t, e=ev_type: t.filter(
+                pc.equal(t["event_type"], e)
+            ).select(["user_id"]),
+            batch_format="pyarrow",
+        )
+        return dataset_to_table(
+            distinct(filtered, ["user_id"]),
+            pa.schema([("user_id", pa.int64())]),
+        )
+
+    clicks, buys = _side("click"), _side("purchase")
+    buy_set = pc.unique(buys["user_id"])
+    out = clicks.filter(pc.is_in(clicks["user_id"], value_set=buy_set))
+    return (
+        out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+
+
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HLL approximate distinct user_id over events (mergeable sketch
+    partials per batch; SURVEY §2.5 'Sketches'; non-SQL — approx)."""
+    from deduper_ray.functions.sketches import approx_distinct
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    return pd.DataFrame({"approx_distinct_users": [int(round(est))]})
+
+
 def sample_docs(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus down-sampling by row-id modulus (SURVEY
     §2.5 'Sampling': reproducible under any parallelism, unlike

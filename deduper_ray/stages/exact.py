@@ -60,6 +60,11 @@ def group_stats(hashed: rd.Dataset, *, hash_col: str = HASH_COL) -> rd.Dataset:
 
     Narrow-projection shuffle — ~40 bytes/row regardless of payload
     width (SURVEY.md §4.2 spill row: project before groupby).
+
+    Implemented as sort + vectorized run scan with driver-stitched
+    block-boundary runs (same pattern as the LSH stage) — Ray's
+    sort-based ``groupby().aggregate`` is several× slower than a plain
+    sort for high-cardinality keys, and the scan is pure numpy.
     """
     narrow = hashed.map_batches(
         lambda t: pa.table(
@@ -71,10 +76,86 @@ def group_stats(hashed: rd.Dataset, *, hash_col: str = HASH_COL) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
-    return narrow.groupby(hash_col).aggregate(
-        Min(ROW_ID, alias_name="first_row_id"),
-        Count(alias_name="n_rows"),
-        Max("_seen", alias_name="any_seen"),
+    scanned = (
+        narrow.sort(hash_col)
+        .map_batches(
+            lambda t: _scan_hash_block(t, hash_col),
+            batch_format="pyarrow",
+            batch_size=None,  # one scan per sorted block
+        )
+        .materialize()
+    )
+    # boundary runs (≤2 per block) stitched on the driver
+    frags = scanned.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    interior = scanned.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).drop_columns(["kind"]),
+        batch_format="pyarrow",
+    )
+    if len(frags):
+        agg = (
+            frags.groupby(hash_col)
+            .agg(
+                first_row_id=("first_row_id", "min"),
+                n_rows=("n_rows", "sum"),
+                any_seen=("any_seen", "max"),
+            )
+            .reset_index()
+        )
+        stitched = pa.table(
+            {
+                hash_col: pa.array(agg[hash_col], type=pa.string()),
+                "first_row_id": pa.array(agg["first_row_id"], type=pa.int64()),
+                "n_rows": pa.array(agg["n_rows"], type=pa.int64()),
+                "any_seen": pa.array(agg["any_seen"], type=pa.int8()),
+            }
+        )
+        return interior.union(rd.from_arrow(stitched))
+    return interior
+
+
+def _scan_hash_block(t: pa.Table, hash_col: str) -> pa.Table:
+    """Run scan over one hash-sorted block: per-run (first_row_id,
+    n_rows, any_seen); first/last runs flagged kind=1 for stitching."""
+    import numpy as np
+
+    n = t.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "kind": pa.array([], type=pa.int8()),
+                hash_col: pa.array([], type=pa.string()),
+                "first_row_id": pa.array([], type=pa.int64()),
+                "n_rows": pa.array([], type=pa.int64()),
+                "any_seen": pa.array([], type=pa.int8()),
+            }
+        )
+    hashes = t[hash_col].combine_chunks()
+    row_ids = t[ROW_ID].to_numpy(zero_copy_only=False)
+    seen = t["_seen"].to_numpy(zero_copy_only=False)
+    # run boundaries via vectorized string inequality
+    neq = pc.not_equal(hashes.slice(1), hashes.slice(0, n - 1))
+    change = np.nonzero(neq.to_numpy(zero_copy_only=False))[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    # vectorized per-run aggregates (min over sorted row_id requires a
+    # reduceat; row order within a run is NOT sorted after the hash
+    # sort, so use minimum.reduceat)
+    first_ids = np.minimum.reduceat(row_ids, starts)
+    n_rows = (ends - starts).astype(np.int64)
+    any_seen = np.maximum.reduceat(seen, starts)
+    kinds = np.zeros(starts.size, dtype=np.int8)
+    kinds[0] = 1
+    kinds[-1] = 1
+    return pa.table(
+        {
+            "kind": pa.array(kinds),
+            hash_col: hashes.take(pa.array(starts, type=pa.int64())),
+            "first_row_id": pa.array(first_ids, type=pa.int64()),
+            "n_rows": pa.array(n_rows, type=pa.int64()),
+            "any_seen": pa.array(any_seen.astype(np.int8)),
+        }
     )
 
 
