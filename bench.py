@@ -50,7 +50,7 @@ def _headline_neardup(out_root: str) -> dict:
     from deduper_ray.pipelines.neardup import run_neardup
 
     cfg = NearDupConfig(
-        text_column="content", shingle_k=8, num_perms=128, bands=32,
+        text_column="content", shingle_k=8, num_perms=128, bands=21,
         threshold=0.7, batch_size=512,  # concurrency auto-sized from CPUs
     )
     src = _code_files_path()

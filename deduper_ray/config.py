@@ -66,12 +66,13 @@ class NearDupConfig:
     shingle_k           character-shingle width
     use_token_shingles  shingle over word tokens instead of characters
     num_perms           MinHash signature length K
-    bands               LSH band count b (num_perms % bands == 0).
-                        Default 32 bands × 4 rows: catch probability at
-                        J=0.8 is 1-(1-0.8^4)^32 ≈ 1-5e-8 — recall ≥0.99
-                        comes from banding being near-exhaustive above
-                        the threshold and precision from the verify
-                        stage, not from the banding curve.
+    bands               LSH band count b; r = num_perms // bands rows
+                        per band (trailing remainder slots unused).
+                        Default 21 bands × 6 rows: catch probability
+                        1-(1-J^6)^21 = 0.998 at J=0.8 (recall target)
+                        but only ~1.5% at J=0.3 — selective enough
+                        that shared-vocabulary corpora don't flood the
+                        candidate set (r=4 caught 23% of J=0.3 pairs).
     threshold           min estimated Jaccard for a verified pair
     simhash_bits        SimHash fingerprint width (0 → skip SimHash verify)
     simhash_max_hamming max Hamming distance for the SimHash verify path
@@ -85,7 +86,7 @@ class NearDupConfig:
     shingle_k: int = 8
     use_token_shingles: bool = False
     num_perms: int = 128
-    bands: int = 32
+    bands: int = 21
     threshold: float = 0.7
     simhash_bits: int = 64
     simhash_max_hamming: int = 8
@@ -97,11 +98,12 @@ class NearDupConfig:
     # min-1 autoscaling ramps too slowly to use the cluster. A quarter
     # floor keeps both properties.
     concurrency: int | tuple[int, int] | None = None
+    # collapse identical-signature docs (exact dupes) to one
+    # representative before LSH banding: removes the O(g²·bands)
+    # candidate blowup of exact-dup groups; members re-attach via
+    # Jaccard-1.0 identity edges (stages/collapse.py)
+    collapse_identical: bool = True
 
     @property
     def rows_per_band(self) -> int:
-        if self.num_perms % self.bands != 0:
-            raise ValueError(
-                f"num_perms={self.num_perms} not divisible by bands={self.bands}"
-            )
         return self.num_perms // self.bands

@@ -133,8 +133,19 @@ def run_neardup(
     else:
         from deduper_ray.stages.lsh import collect_candidate_pairs
 
+        lsh_input = signatures
+        ident_edges: pa.Table | None = None
+        if cfg.collapse_identical:
+            from deduper_ray.stages.collapse import collapse_identical
+
+            lsh_input, ident_edges = collapse_identical(
+                signatures, id_column=cfg.id_column
+            )
+            if ident_edges.num_rows:
+                stage_sec["collapsed_identical"] = ident_edges.num_rows
+            lsh_input = lsh_input.materialize()
         scanned = candidate_pairs(
-            signatures,
+            lsh_input,
             bands=cfg.bands,
             max_pairs_per_bucket=cfg.max_pairs_per_bucket,
             id_column=cfg.id_column,
@@ -162,6 +173,19 @@ def run_neardup(
             ),
             id_column=cfg.id_column,
         )
+        if ident_edges is not None and ident_edges.num_rows:
+            # collapsed exact-dup members rejoin as Jaccard-1.0 edges
+            n_id = ident_edges.num_rows
+            ident_scored = pa.table(
+                {
+                    "id_a": ident_edges["id_a"],
+                    "id_b": ident_edges["id_b"],
+                    "est_jaccard": pa.array([1.0] * n_id, type=pa.float64()),
+                    "hamming": pa.array([0] * n_id, type=pa.int64()),
+                    "est_containment": pa.array([1.0] * n_id, type=pa.float64()),
+                }
+            )
+            scored = scored.union(rd.from_arrow(ident_scored))
         verified = write_stage(
             scored, pairs_dir, stage="pairs", cfg_hash=chash,
             inputs=[sig_dir], extra_metrics={"candidate_pairs": n_cand},

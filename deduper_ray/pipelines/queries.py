@@ -457,7 +457,7 @@ def neardup_clusters_docs(sf_dir: str) -> pd.DataFrame:
     from deduper_ray.pipelines.neardup import run_neardup
 
     cfg = NearDupConfig(
-        text_column="text", shingle_k=8, num_perms=128, bands=32,
+        text_column="text", shingle_k=8, num_perms=128, bands=21,
         threshold=0.7,
     )
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])

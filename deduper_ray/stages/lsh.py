@@ -40,11 +40,12 @@ def band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
 
     Each key mixes the band's r signature values AND the band index, so
     equal keys across different bands cannot collide into one bucket.
-    Fully vectorized across the batch.
+    Fully vectorized across the batch. When K % bands != 0 the trailing
+    K - bands·r signature slots are unused (r = K // bands).
     """
     n, K = sigs.shape
     r = K // bands
-    view = sigs.reshape(n, bands, r)
+    view = sigs[:, : bands * r].reshape(n, bands, r)
     h = np.full((n, bands), np.arange(bands, dtype=np.uint64), dtype=np.uint64)
     for j in range(r):
         h = (h ^ view[:, :, j]) * _BAND_MULT

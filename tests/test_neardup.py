@@ -20,7 +20,7 @@ CFG = NearDupConfig(
     text_column="content",
     shingle_k=8,
     num_perms=128,
-    bands=32,
+    bands=21,
     threshold=0.65,  # margin below GT_THRESHOLD absorbs MinHash estimator noise
     max_pairs_per_bucket=2000,
     seed=42,
