@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": q.sample_docs,
         "intersect_click_buy_users": q.intersect_click_buy_users,
         "approx_distinct_users": q.approx_distinct_users,
+        "asof_latest_order_per_event": q.asof_latest_order_per_event,
         # near-dup / similarity (non-SQL → rows-only check)
         "neardup_clusters_docs": q.neardup_clusters_docs,
         "simhash_docs": q.simhash_docs,
@@ -218,6 +219,17 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
             ORDER BY user_id
+        """,
+        "asof_latest_order_per_event": """
+            WITH o AS (
+                SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, o.o_orderkey
+            FROM events e
+            ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
         """,
         "sessionize_events": """
             WITH e AS (

@@ -384,6 +384,35 @@ def window_sliding_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def asof_latest_order_per_event(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event matched to the customer's latest order at
+    or before the event time (gap-table 'as-of join'; broadcast right
+    side + per-batch merge_asof). Orders pre-collapsed to one row per
+    (custkey, orderdate) with max orderkey so ties are deterministic."""
+    import pyarrow.parquet as pq
+
+    from deduper_ray.stages.relational import asof_join
+
+    orders = (
+        pq.read_table(
+            _t(sf_dir, "orders"),
+            columns=["o_custkey", "o_orderdate", "o_orderkey"],
+        )
+        .to_pandas()
+        .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
+        .max()
+        .rename(columns={"o_custkey": "user_id"})
+    )
+    events = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    out = asof_join(
+        events, orders, by="user_id", left_ts="ts", right_ts="o_orderdate"
+    ).to_pandas()
+    out = out[["event_id", "o_orderkey"]].sort_values("event_id")
+    return out.reset_index(drop=True)
+
+
 def intersect_click_buy_users(sf_dir: str) -> pd.DataFrame:
     """Set-op INTERSECT: users with both 'click' and 'purchase' events —
     distinct per side, small side broadcast as a semi-join filter

@@ -108,6 +108,40 @@ def top_k(
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: pd.DataFrame,
+    *,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> rd.Dataset:
+    """As-of join: for each left row, the latest right row with
+    right_ts ≤ left_ts (direction='backward') sharing the ``by`` key.
+
+    Broadcast form: the right side (dimension-sized — e.g. an orders
+    table against an event stream) is sorted once and shipped via the
+    object store; each batch does one ``pd.merge_asof``. For two large
+    sides, bucket both by hash(by) and run the same merge per bucket
+    pair (ray_guide "As-of / range join") — not needed at current
+    sizes.
+    """
+    right = right.sort_values([right_ts, by]).reset_index(drop=True)
+    right_ref = ray.put(right)
+
+    def _asof(batch: pd.DataFrame) -> pd.DataFrame:
+        r = _fetch_broadcast(right_ref)
+        b = batch.sort_values(left_ts)
+        out = pd.merge_asof(
+            b, r, left_on=left_ts, right_on=right_ts, by=by,
+            direction=direction,
+        )
+        return out
+
+    return left.map_batches(_asof, batch_format="pandas")
+
+
 def distinct(ds: rd.Dataset, columns: list[str]) -> rd.Dataset:
     """Distinct rows over ``columns``: batch-local dedup first (cheap,
     shrinks the shuffle), then the native groupby-count collapse."""
