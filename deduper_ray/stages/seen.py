@@ -41,15 +41,34 @@ def load_seen_hashes(path: str, column: str = "hash") -> ray.ObjectRef:
 class SeenHashMarker:
     """Actor-pool map_batches stage: append a bool ``is_seen`` column.
 
-    State (the hash value-set) is materialized once per actor in
-    ``__init__`` — the canonical stateful-stage pattern.
+    State (the hash value-set or Bloom filter) is materialized once per
+    actor in ``__init__`` — the canonical stateful-stage pattern.
+
+    mode="exact" (default): pyarrow is_in against the full value set —
+    the reference's semantics exactly.
+    mode="bloom": Bloom-filter membership (functions/bloom.py) for seen
+    sets too large to broadcast raw — APPROXIMATE: false positives drop
+    never-seen rows as dupes at the configured FP rate. Opt-in only.
     """
 
-    def __init__(self, seen_ref: ray.ObjectRef, hash_col: str = "row_md5"):
-        self.values: pa.Array = ray.get(seen_ref)
+    def __init__(self, seen_ref: ray.ObjectRef, hash_col: str = "row_md5",
+                 mode: str = "exact"):
+        self.mode = mode
         self.hash_col = hash_col
+        if mode == "bloom":
+            from deduper_ray.functions.bloom import BloomFilter
+
+            values: pa.Array = ray.get(seen_ref)
+            bf = BloomFilter(capacity=max(1, len(values)), fp_rate=0.001)
+            bf.add_hex(values.to_pylist())
+            self.bloom = bf
+        else:
+            self.values: pa.Array = ray.get(seen_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "bloom":
+            mask = self.bloom.contains_arrow(batch[self.hash_col])
+            return batch.append_column(SEEN_FLAG, mask)
         mask = pc.is_in(batch[self.hash_col], value_set=self.values)
         return batch.append_column(SEEN_FLAG, pc.fill_null(mask, False))
 
