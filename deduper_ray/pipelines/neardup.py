@@ -144,15 +144,18 @@ def run_neardup(
             if ident_edges.num_rows:
                 stage_sec["collapsed_identical"] = ident_edges.num_rows
             lsh_input = lsh_input.materialize()
+        from deduper_ray.stages.lsh import candidate_pair_dataset
+
         scanned = candidate_pairs(
             lsh_input,
             bands=cfg.bands,
             max_pairs_per_bucket=cfg.max_pairs_per_bucket,
             id_column=cfg.id_column,
         )
-        cands, n_dropped = collect_candidate_pairs(
+        cands, n_dropped = candidate_pair_dataset(
             scanned, max_pairs_per_bucket=cfg.max_pairs_per_bucket
         )
+        cands = cands.materialize()
         if n_dropped:
             import logging
 
@@ -161,7 +164,7 @@ def run_neardup(
                 "(max_pairs_per_bucket=%d)", n_dropped,
                 cfg.max_pairs_per_bucket,
             )
-        n_cand = cands.num_rows
+        n_cand = cands.count()
         stage_sec["candidates"] = round(time.time() - t_mark, 2)
         t_mark = time.time()
         scored = verify_pairs(

@@ -204,6 +204,99 @@ def candidate_pairs(
     )
 
 
+def stitch_fragment_pairs(
+    scanned: rd.Dataset, *, max_pairs_per_bucket: int = 2000
+) -> tuple[pa.Table, int]:
+    """Driver-side: collect ONLY the fragment/sentinel rows (≤2 runs +
+    1 sentinel per block — tiny), stitch boundary runs into pairs, sum
+    dropped counts. Returns (fragment pair table, dropped)."""
+    import pyarrow.compute as pc
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    side = dataset_to_table(
+        scanned.map_batches(
+            lambda t: t.filter(pc.not_equal(t["kind"], 0)),
+            batch_format="pyarrow",
+        ),
+        pa.schema(
+            [("kind", pa.int8()), ("id_a", pa.int64()), ("id_b", pa.int64())]
+        ),
+    )
+    kind = side["kind"].to_numpy(zero_copy_only=False)
+    id_a = side["id_a"].to_numpy(zero_copy_only=False)
+    id_b = side["id_b"].to_numpy(zero_copy_only=False)
+    dropped = int(id_b[kind == 2].sum())
+    fk, fi = id_a[kind == 1], id_b[kind == 1]
+    pa_list, pb_list = [], []
+    if fk.size:
+        order = np.lexsort((fi, fk))
+        fk, fi = fk[order], fi[order]
+        change = np.nonzero(fk[1:] != fk[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [fk.size]))
+        for s, e in zip(starts, ends):
+            uids = np.unique(fi[s:e])
+            if uids.size < 2:
+                continue
+            a, b, d = _pairs_for_bucket(uids, max_pairs_per_bucket)
+            pa_list.append(a)
+            pb_list.append(b)
+            dropped += d
+    if pa_list:
+        a = np.concatenate(pa_list)
+        b = np.concatenate(pb_list)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+    else:
+        lo = hi = np.empty(0, dtype=np.int64)
+    return (
+        pa.table(
+            {
+                "id_a": pa.array(lo, type=pa.int64()),
+                "id_b": pa.array(hi, type=pa.int64()),
+            }
+        ),
+        dropped,
+    )
+
+
+def candidate_pair_dataset(
+    scanned: rd.Dataset, *, max_pairs_per_bucket: int = 2000
+) -> tuple[rd.Dataset, int]:
+    """Fully distributed resolution: pair rows stay a Dataset. A second
+    sort on (id_a, id_b) makes cross-band duplicates block-adjacent so
+    each block dedups itself; the only driver work is fragment
+    stitching (tiny). Block-boundary duplicate pairs (≤1 per boundary)
+    survive — harmless for verification/union-find and removed with the
+    final verified set. Returns (pair dataset, dropped count)."""
+    import pyarrow.compute as pc
+
+    scanned = scanned.materialize()
+    frag_pairs, dropped = stitch_fragment_pairs(
+        scanned, max_pairs_per_bucket=max_pairs_per_bucket
+    )
+    pair_ds = scanned.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["id_a", "id_b"]),
+        batch_format="pyarrow",
+    )
+    if frag_pairs.num_rows:
+        pair_ds = pair_ds.union(rd.from_arrow(frag_pairs))
+
+    def _block_dedup(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        if a.size == 0:
+            return t
+        keep = np.ones(a.size, dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return t.filter(pa.array(keep))
+
+    deduped = pair_ds.sort(["id_a", "id_b"]).map_batches(
+        _block_dedup, batch_format="pyarrow", batch_size=None
+    )
+    return deduped, dropped
+
+
 def collect_candidate_pairs(
     scanned: rd.Dataset, *, max_pairs_per_bucket: int = 2000
 ) -> tuple[pa.Table, int]:

