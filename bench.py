@@ -206,11 +206,14 @@ def run_headline_only() -> dict:
 def run_scaling() -> None:
     """The two-cluster-size criterion, sandbox form (BASELINE.md §4):
     same job, same input, N and 4N CPUs in fresh processes. Default
-    4 vs 16 on a 400k-file corpus (override SCALE_CPUS / BENCH_NDOCS)."""
+    2 vs 8 CPUs on a 10^6-file corpus — large enough that distributed
+    compute dominates the serial stage floor, and low enough CPU counts
+    that one box's memory bandwidth isn't the limiter (BASELINE.md §5.1
+    caveat). Override with SCALE_CPUS / BENCH_NDOCS."""
     lo_n, hi_n = (
-        int(x) for x in os.environ.get("SCALE_CPUS", "4,16").split(",")
+        int(x) for x in os.environ.get("SCALE_CPUS", "2,8").split(",")
     )
-    ndocs = os.environ.get("BENCH_NDOCS", "400000")
+    ndocs = os.environ.get("BENCH_NDOCS", "1000000")
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_NDOCS=ndocs)

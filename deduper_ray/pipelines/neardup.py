@@ -143,7 +143,8 @@ def run_neardup(
             )
             if ident_edges.num_rows:
                 stage_sec["collapsed_identical"] = ident_edges.num_rows
-            lsh_input = lsh_input.materialize()
+            # NOT materialized: the rep filter is consumed exactly once
+            # (by the band explode) and fuses into that streaming pass
         from deduper_ray.stages.lsh import candidate_pair_dataset
 
         scanned = candidate_pairs(

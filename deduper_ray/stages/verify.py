@@ -56,18 +56,45 @@ def build_signature_store(
         tbl = dataset_to_table(
             signatures.map_batches(_filter, batch_format="pyarrow")
         )
+    return _store_from_table(tbl, id_column)
+
+
+def _store_from_table(tbl: pa.Table, id_column: str) -> dict:
     ids = tbl[id_column].to_numpy(zero_copy_only=False)
-    order = np.argsort(ids)
     K = tbl["minhash"].type.list_size
-    sigs = (
+    flat = (
         tbl["minhash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        .reshape(-1, K)[order]
+        .reshape(-1, K)
     )  # dtype preserved (uint32) — the verify gather is bandwidth-bound
+    simhash = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    n_sh = tbl["n_shingles"].to_numpy(zero_copy_only=False)
+    n = ids.size
+    if n:
+        mn, mx = int(ids.min()), int(ids.max())
+        span = mx - mn + 1
+        if span <= max(16, int(1.25 * n)):
+            # dense ids (the deterministic reader emits 0..n-1): build a
+            # direct-index store by one scatter — no argsort at build,
+            # no searchsorted at query (both matter when every scoring
+            # worker builds its own store)
+            sigs_d = np.zeros((span, K), dtype=flat.dtype)
+            sim_d = np.zeros(span, dtype=np.uint64)
+            nsh_d = np.zeros(span, dtype=n_sh.dtype)
+            pos = ids - mn
+            sigs_d[pos] = flat
+            sim_d[pos] = simhash
+            nsh_d[pos] = n_sh
+            return {
+                "base": mn, "ids": None, "sigs": sigs_d,
+                "simhash": sim_d, "n_shingles": nsh_d,
+            }
+    order = np.argsort(ids)
     return {
+        "base": None,
         "ids": ids[order],
-        "sigs": sigs,
-        "simhash": tbl["simhash"].to_numpy(zero_copy_only=False)[order].astype(np.uint64),
-        "n_shingles": tbl["n_shingles"].to_numpy(zero_copy_only=False)[order],
+        "sigs": flat[order],
+        "simhash": simhash[order],
+        "n_shingles": n_sh[order],
     }
 
 
@@ -96,12 +123,15 @@ class PairVerifier:
 
     def __init__(self, store_ref: ray.ObjectRef | dict):
         s = ray.get(store_ref) if isinstance(store_ref, ray.ObjectRef) else store_ref
-        self.ids: np.ndarray = s["ids"]
+        self.base = s.get("base")
+        self.ids: np.ndarray | None = s["ids"]
         self.sigs: np.ndarray = s["sigs"]
         self.simhash: np.ndarray = s["simhash"]
         self.n_shingles: np.ndarray = s["n_shingles"]
 
     def _index(self, ids: np.ndarray) -> np.ndarray:
+        if self.base is not None:
+            return ids - self.base  # dense store: direct indexing
         return np.searchsorted(self.ids, ids)
 
     _CHUNK = 1_000_000
@@ -215,15 +245,26 @@ def verify_pairs(
         pairs = pairs.materialize()
         n_pairs = pairs.count()
         if n_pairs > 1_000_000:
-            store_ref = ray.put(
-                build_signature_store(signatures, None, id_column=id_column)
+            # each WORKER assembles the store from the materialized
+            # signature blocks (zero-copy local reads) — built in
+            # parallel across the pool instead of serially on the
+            # driver (~6-10s driver assembly + a 0.5 GB put at 10^6
+            # docs otherwise)
+            sig_refs = signatures.materialize().to_arrow_refs()
+            cache_key = (sig_refs[0].binary() if sig_refs else b"") + bytes(
+                [len(sig_refs) % 251]
             )
 
             def _score_ds(batch: pa.Table) -> pa.Table:
-                key = store_ref.binary()
-                verifier = _VERIFIER_CACHE.get(key)
+                verifier = _VERIFIER_CACHE.get(cache_key)
                 if verifier is None:
-                    verifier = _VERIFIER_CACHE[key] = PairVerifier(store_ref)
+                    tbls = [
+                        t for t in ray.get(sig_refs) if t.num_columns > 0
+                    ]
+                    store = _store_from_table(
+                        pa.concat_tables(tbls), id_column
+                    )
+                    verifier = _VERIFIER_CACHE[cache_key] = PairVerifier(store)
                 return _keep(verifier(batch))
 
             cap = _scoring_cap()
