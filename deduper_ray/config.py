@@ -103,6 +103,15 @@ class NearDupConfig:
     # candidate blowup of exact-dup groups; members re-attach via
     # Jaccard-1.0 identity edges (stages/collapse.py)
     collapse_identical: bool = True
+    # "unionfind": single actor, O(clustered docs) state (default);
+    # "labelprop": fully distributed min-label propagation — the scale
+    # path when even the clustered-doc set exceeds one actor's heap
+    cluster_backend: str = "unionfind"
+    # "broadcast": scoring workers hold the signature store (default);
+    # "copartition": no-broadcast hash-partitioned join verification —
+    # for corpora whose store exceeds worker heap (bit-identical scores,
+    # equivalence-tested)
+    verify_backend: str = "broadcast"
 
     @property
     def rows_per_band(self) -> int:

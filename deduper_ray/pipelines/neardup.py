@@ -168,15 +168,28 @@ def run_neardup(
         n_cand = cands.count()
         stage_sec["candidates"] = round(time.time() - t_mark, 2)
         t_mark = time.time()
-        scored = verify_pairs(
-            cands,
-            signatures,
-            threshold=cfg.threshold,
-            simhash_max_hamming=(
-                cfg.simhash_max_hamming if cfg.simhash_bits else None
-            ),
-            id_column=cfg.id_column,
-        )
+        if cfg.verify_backend == "copartition":
+            from deduper_ray.stages.verify import verify_pairs_copartitioned
+
+            scored = verify_pairs_copartitioned(
+                cands,
+                signatures,
+                threshold=cfg.threshold,
+                simhash_max_hamming=(
+                    cfg.simhash_max_hamming if cfg.simhash_bits else None
+                ),
+                id_column=cfg.id_column,
+            )
+        else:
+            scored = verify_pairs(
+                cands,
+                signatures,
+                threshold=cfg.threshold,
+                simhash_max_hamming=(
+                    cfg.simhash_max_hamming if cfg.simhash_bits else None
+                ),
+                id_column=cfg.id_column,
+            )
         if ident_edges is not None and ident_edges.num_rows:
             # collapsed exact-dup members rejoin as Jaccard-1.0 edges
             n_id = ident_edges.num_rows
@@ -209,26 +222,44 @@ def run_neardup(
         clusters_ds = read_stage(clusters_dir)
         skipped.append("clusters")
     else:
-        comp = cluster_edges(verified)  # {row_id: cluster_id}
-        if comp:
-            items = sorted(comp.items())
-            tbl = pa.table(
-                {
-                    cfg.id_column: pa.array([k for k, _ in items], type=pa.int64()),
-                    "cluster_id": pa.array([v for _, v in items], type=pa.int64()),
-                }
+        if cfg.cluster_backend == "labelprop":
+            from deduper_ray.state.unionfind import label_propagation
+
+            lp = label_propagation(verified)
+            if cfg.id_column != "row_id":
+                lp = lp.map_batches(
+                    lambda t: t.rename_columns([cfg.id_column, "cluster_id"]),
+                    batch_format="pyarrow",
+                )
+            clusters_ds = write_stage(
+                lp, clusters_dir, stage="clusters",
+                cfg_hash=chash, inputs=[pairs_dir],
             )
         else:
-            tbl = pa.table(
-                {
-                    cfg.id_column: pa.array([], type=pa.int64()),
-                    "cluster_id": pa.array([], type=pa.int64()),
-                }
+            comp = cluster_edges(verified)  # {row_id: cluster_id}
+            if comp:
+                items = sorted(comp.items())
+                tbl = pa.table(
+                    {
+                        cfg.id_column: pa.array(
+                            [k for k, _ in items], type=pa.int64()
+                        ),
+                        "cluster_id": pa.array(
+                            [v for _, v in items], type=pa.int64()
+                        ),
+                    }
+                )
+            else:
+                tbl = pa.table(
+                    {
+                        cfg.id_column: pa.array([], type=pa.int64()),
+                        "cluster_id": pa.array([], type=pa.int64()),
+                    }
+                )
+            clusters_ds = write_stage(
+                rd.from_arrow(tbl), clusters_dir, stage="clusters",
+                cfg_hash=chash, inputs=[pairs_dir],
             )
-        clusters_ds = write_stage(
-            rd.from_arrow(tbl), clusters_dir, stage="clusters",
-            cfg_hash=chash, inputs=[pairs_dir],
-        )
 
     stage_sec["cluster"] = round(time.time() - t_mark, 2)
     cl = clusters_ds.to_pandas()

@@ -345,6 +345,293 @@ def verify_pairs(
     )
 
 
+def verify_pairs_copartitioned(
+    pairs: rd.Dataset,
+    signatures: rd.Dataset,
+    *,
+    threshold: float = 0.7,
+    simhash_max_hamming: int | None = None,
+    id_column: str = "row_id",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """The NO-BROADCAST verification path for corpora whose signature
+    store exceeds worker heap (10^9+ candidate docs — SCALE.md
+    "Driver-resident state" item 2):
+
+      pairs → two endpoint rows each → hash-partitioned JOIN with the
+      signature table on the doc id → sort by pair key → per-block
+      vectorized adjacent-row scoring (block-edge rows stitched on the
+      driver, ≤2 per block).
+
+    Everything moves through shuffles; nothing is broadcast and the
+    driver holds only block-edge rows. Scores match PairVerifier
+    bit-for-bit (same arithmetic on the same arrays).
+    """
+    import pyarrow.compute as pc
+
+    from deduper_ray.functions.util import dataset_to_table
+    from deduper_ray.stages.relational import partitioned_join
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_column: pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "id_a": pa.array(np.concatenate([a, a]), type=pa.int64()),
+                "id_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+            }
+        )
+
+    endpoints = pairs.map_batches(_endpoints, batch_format="pyarrow")
+
+    def _pack_sigs(t: pa.Table) -> pa.Table:
+        # acero joins reject fixed_size_list payload columns — carry the
+        # signature as fixed-size binary (zero-copy re-viewable)
+        K = t["minhash"].type.list_size
+        mat = (
+            t["minhash"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).reshape(-1, K)
+        )
+        width = mat.dtype.itemsize * K
+        blob = pa.array(
+            [row.tobytes() for row in mat], type=pa.binary(width)
+        )
+        return pa.table(
+            {
+                id_column: t[id_column],
+                "sig_bin": blob,
+                "simhash": t["simhash"],
+                "n_shingles": t["n_shingles"],
+            }
+        )
+
+    packed = signatures.map_batches(_pack_sigs, batch_format="pyarrow")
+    joined = partitioned_join(
+        endpoints, packed, id_column, num_partitions=num_partitions
+    )
+    srt = joined.sort(["id_a", "id_b", id_column])
+
+    def _score_block(t: pa.Table):
+        n = t.num_rows
+        if n == 0:
+            return _empty_scored(with_blob=True), _edge_rows(t, [])
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        ep = t[id_column].to_numpy(zero_copy_only=False)
+        same = np.zeros(n, dtype=bool)
+        # endpoint-differs guard: duplicated pair rows (same endpoint
+        # twice, possible from the ≤1-per-block-boundary candidate dup)
+        # must not self-compare
+        same[:-1] = (
+            (a[:-1] == a[1:]) & (b[:-1] == b[1:]) & (ep[:-1] != ep[1:])
+        )
+        first_idx = np.nonzero(same)[0]
+        # interior complete pairs: rows i, i+1; exclude block-edge rows
+        interior = first_idx[(first_idx > 0) & (first_idx + 1 < n - 1)]
+        edge_positions = [0, n - 1] if n > 1 else [0]
+        # rows 0 and n-1 may belong to pairs split across blocks; also a
+        # pair fully at the edge (rows 0-1 or n-2..n-1) is deferred
+        deferred = sorted(
+            {0, n - 1}
+            | set(first_idx[(first_idx == 0) | (first_idx + 1 == n - 1)])
+            | set(first_idx[(first_idx == 0) | (first_idx + 1 == n - 1)] + 1)
+        )
+        sigs = _unpack_sig_bin(t["sig_bin"])
+        simhash = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nsh = t["n_shingles"].to_numpy(zero_copy_only=False)
+        i = interior
+        est_j = (sigs[i] == sigs[i + 1]).mean(axis=1)
+        x = simhash[i] ^ simhash[i + 1]
+        hamming = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1).astype(np.int64)
+        )
+        na = nsh[i].astype(np.float64)
+        nb = nsh[i + 1].astype(np.float64)
+        mn = np.minimum(na, nb)
+        inter = est_j * (na + nb) / (1.0 + est_j)
+        est_c = np.where(
+            mn > 0, np.minimum(inter / np.maximum(mn, 1.0), 1.0), 0.0
+        )
+        scored = pa.table(
+            {
+                "id_a": pa.array(a[i], type=pa.int64()),
+                "id_b": pa.array(b[i], type=pa.int64()),
+                "est_jaccard": pa.array(est_j, type=pa.float64()),
+                "hamming": pa.array(hamming, type=pa.int64()),
+                "est_containment": pa.array(est_c, type=pa.float64()),
+                "sig_blob": pa.nulls(i.size, type=pa.binary()),
+            }
+        )
+        return scored, _edge_rows(t, deferred)
+
+    def _map(t: pa.Table) -> pa.Table:
+        scored, edges = _score_block(t)
+        # edges tagged with hamming = -1 so the driver can split them out
+        return pa.concat_tables([scored, edges])
+
+    out = srt.map_batches(_map, batch_format="pyarrow", batch_size=None)
+    out = out.materialize()
+    interior = out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["hamming"], 0)).drop_columns(
+            ["sig_blob"]
+        ),
+        batch_format="pyarrow",
+    )
+    # stitch deferred edge rows on the driver (≤ ~4 per block)
+    edge_tbl = dataset_to_table(
+        out.map_batches(
+            lambda t: t.filter(pc.less(t["hamming"], 0)),
+            batch_format="pyarrow",
+        ),
+        _empty_scored(with_blob=True).schema,
+    )
+    extra = _score_edge_rows(edge_tbl)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        ok = pc.greater_equal(t["est_jaccard"], threshold)
+        if simhash_max_hamming is not None:
+            ok = pc.or_(ok, pc.less_equal(t["hamming"], simhash_max_hamming))
+        return t.filter(ok)
+
+    result = interior.map_batches(_keep, batch_format="pyarrow")
+    if extra.num_rows:
+        result = result.union(rd.from_arrow(_keep(extra)))
+    return result
+
+
+def _unpack_sig_bin(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """fixed_size_binary signature column → (n, K) uint32 matrix,
+    zero-copy from the Arrow data buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    width = col.type.byte_width
+    n = len(col)
+    if n == 0:
+        return np.empty((0, width // 4), dtype=np.uint32)
+    buf = col.buffers()[1]
+    off = col.offset * width
+    raw = np.frombuffer(buf, dtype=np.uint8, count=n * width, offset=off)
+    return raw.reshape(n, width).view(np.uint32)
+
+
+def _empty_scored(with_blob: bool = False) -> pa.Table:
+    cols = {
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        "est_jaccard": pa.array([], type=pa.float64()),
+        "hamming": pa.array([], type=pa.int64()),
+        "est_containment": pa.array([], type=pa.float64()),
+    }
+    if with_blob:
+        cols["sig_blob"] = pa.array([], type=pa.binary())
+    return pa.table(cols)
+
+
+def _edge_rows(t: pa.Table, positions: list[int]) -> pa.Table:
+    """Deferred block-edge rows, smuggled in the scored schema:
+    hamming=-1 tag, est_jaccard=packed signature row index is not
+    possible — instead the full signature payload rides in a sidecar
+    via est_containment... Simpler: edge rows re-encode (id_a, id_b,
+    endpoint signature) as JSON-free columns: we store the row's
+    simhash in est_jaccard's bits and n_shingles in est_containment.
+    To stay honest and simple we instead store the raw values needed
+    for scoring: minhash is re-derived by the driver from these rows'
+    (id_a, id_b) via a tiny targeted fetch — but that would re-read.
+    Here we pack the complete signature as bytes in a binary column."""
+    if not positions:
+        return pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "est_jaccard": pa.array([], type=pa.float64()),
+                "hamming": pa.array([], type=pa.int64()),
+                "est_containment": pa.array([], type=pa.float64()),
+                "sig_blob": pa.array([], type=pa.binary()),
+            }
+        )
+    sub = t.take(pa.array(positions, type=pa.int64()))
+    sigs = _unpack_sig_bin(sub["sig_bin"])
+    sim = sub["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    nsh = sub["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ep_col = [c for c in sub.column_names if c not in (
+        "id_a", "id_b", "sig_bin", "simhash", "n_shingles")][0]
+    eps = sub[ep_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # blob layout: [8B endpoint id][K·4B sigs][8B simhash][8B n_shingles]
+    blobs = [
+        eps[i].tobytes() + sigs[i].tobytes() + sim[i].tobytes()
+        + nsh[i].tobytes()
+        for i in range(len(positions))
+    ]
+    return pa.table(
+        {
+            "id_a": sub["id_a"],
+            "id_b": sub["id_b"],
+            "est_jaccard": pa.array([0.0] * len(positions), type=pa.float64()),
+            "hamming": pa.array([-1] * len(positions), type=pa.int64()),
+            "est_containment": pa.array(
+                [0.0] * len(positions), type=pa.float64()
+            ),
+            "sig_blob": pa.array(blobs, type=pa.binary()),
+        }
+    )
+
+
+def _score_edge_rows(edge_tbl: pa.Table) -> pa.Table:
+    """Driver-side scoring of deferred block-edge rows: group by
+    (id_a, id_b); a complete pair has two rows (duplicates collapse)."""
+    if edge_tbl.num_rows == 0:
+        return _empty_scored()
+    import collections
+
+    groups: dict[tuple[int, int], list[bytes]] = collections.defaultdict(list)
+    for rec in edge_tbl.to_pylist():
+        groups[(rec["id_a"], rec["id_b"])].append(rec["sig_blob"])
+    rows = {"id_a": [], "id_b": [], "est_jaccard": [], "hamming": [],
+            "est_containment": []}
+    for (a, b), blob_list in groups.items():
+        # match blobs to pair sides by the embedded endpoint id; a pair
+        # scores only when BOTH sides are present among the edge rows
+        side_a = side_b = None
+        for blob in blob_list:
+            ep = int(np.frombuffer(blob[:8], dtype=np.int64)[0])
+            if ep == a and side_a is None:
+                side_a = blob
+            elif ep == b and side_b is None:
+                side_b = blob
+        if side_a is None or side_b is None:
+            continue  # partner row was interior — scored in its block
+        s1, s2 = side_a[8:], side_b[8:]
+        sig1 = np.frombuffer(s1[:-16], dtype=np.uint32)
+        sig2 = np.frombuffer(s2[:-16], dtype=np.uint32)
+        sim1 = np.frombuffer(s1[-16:-8], dtype=np.uint64)[0]
+        sim2 = np.frombuffer(s2[-16:-8], dtype=np.uint64)[0]
+        n1 = int(np.frombuffer(s1[-8:], dtype=np.int64)[0])
+        n2 = int(np.frombuffer(s2[-8:], dtype=np.int64)[0])
+        est_j = float((sig1 == sig2).mean())
+        ham = int(bin(int(sim1) ^ int(sim2)).count("1"))
+        mn = min(n1, n2)
+        inter = est_j * (n1 + n2) / (1.0 + est_j)
+        est_c = min(inter / max(mn, 1), 1.0) if mn > 0 else 0.0
+        rows["id_a"].append(a)
+        rows["id_b"].append(b)
+        rows["est_jaccard"].append(est_j)
+        rows["hamming"].append(ham)
+        rows["est_containment"].append(est_c)
+    return pa.table(
+        {
+            "id_a": pa.array(rows["id_a"], type=pa.int64()),
+            "id_b": pa.array(rows["id_b"], type=pa.int64()),
+            "est_jaccard": pa.array(rows["est_jaccard"], type=pa.float64()),
+            "hamming": pa.array(rows["hamming"], type=pa.int64()),
+            "est_containment": pa.array(
+                rows["est_containment"], type=pa.float64()
+            ),
+        }
+    )
+
+
 def _scoring_cap() -> int:
     """Concurrency cap for the bandwidth-bound signature-gather scoring:
     proportional to the cluster up to 16 — beyond that, concurrent

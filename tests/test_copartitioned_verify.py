@@ -1,0 +1,66 @@
+"""The no-broadcast (co-partitioned join) verification path must score
+identically to the broadcast-store path — it is the documented upgrade
+for corpora whose signature store exceeds worker heap (SCALE.md)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from deduper_ray.sources.synth import make_code_files
+from deduper_ray.stages.lsh import candidate_pair_dataset, candidate_pairs
+from deduper_ray.stages.minhash import MinHashSigner
+from deduper_ray.stages.verify import verify_pairs, verify_pairs_copartitioned
+
+
+def _setup(tmp_path):
+    src = str(tmp_path / "c.parquet")
+    make_code_files(src, n_rows=800, seed=5)
+    from deduper_ray.sources.readers import read_table
+
+    ds = read_table(src, columns=["content"])
+    signed = ds.map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs=dict(
+            num_perms=128, shingle_k=8, seed=42,
+            text_column="content", id_column="row_id",
+        ),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 2),
+    ).materialize()
+    scanned = candidate_pairs(signed, bands=21, max_pairs_per_bucket=2000)
+    pairs, _ = candidate_pair_dataset(scanned)
+    return signed, pairs.materialize()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["est_jaccard"] = df["est_jaccard"].round(9)
+    df["est_containment"] = df["est_containment"].round(9)
+    return (
+        df.drop_duplicates(subset=["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def test_copartitioned_matches_broadcast(tmp_path):
+    signed, pairs = _setup(tmp_path)
+    broadcast = _norm(
+        verify_pairs(
+            pairs, signed, threshold=0.6, simhash_max_hamming=8
+        ).to_pandas()
+    )
+    copart = _norm(
+        verify_pairs_copartitioned(
+            pairs, signed, threshold=0.6, simhash_max_hamming=8,
+            num_partitions=8,
+        ).to_pandas()
+    )
+    assert len(broadcast) > 50
+    assert len(copart) == len(broadcast)
+    for col in ("id_a", "id_b", "hamming"):
+        assert copart[col].tolist() == broadcast[col].tolist(), col
+    assert np.allclose(copart["est_jaccard"], broadcast["est_jaccard"])
+    assert np.allclose(
+        copart["est_containment"], broadcast["est_containment"]
+    )
