@@ -352,7 +352,7 @@ def verify_pairs_copartitioned(
     threshold: float = 0.7,
     simhash_max_hamming: int | None = None,
     id_column: str = "row_id",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """The NO-BROADCAST verification path for corpora whose signature
     store exceeds worker heap (10^9+ candidate docs — SCALE.md
@@ -382,6 +382,12 @@ def verify_pairs_copartitioned(
                 "id_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
             }
         )
+
+    if num_partitions is None:
+        # hash-shuffle partitions spawn aggregator actors: size to the
+        # cluster or a small session drowns in actor scheduling
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(4, min(64, cpus * 2))
 
     endpoints = pairs.map_batches(_endpoints, batch_format="pyarrow")
 
