@@ -58,10 +58,9 @@ class NearDupConfig:
     """Near-duplicate detection + clustering config (north-rule pipeline).
 
     The reference has no near-dup operators; this parameterizes the
-    shingle → MinHash → LSH → verify → union-find stack. Defaults follow
-    the classic Leskovec/Rajaraman/Ullman LSH setup: 128 permutations in
-    16 bands × 8 rows ≈ threshold ~0.77; lower ``threshold`` to keep
-    more verified pairs.
+    shingle → MinHash → LSH → verify → union-find stack (the classic
+    Broder/Leskovec-Rajaraman-Ullman construction, with one-permutation
+    hashing and an identical-signature collapse on top).
 
     shingle_k           character-shingle width
     use_token_shingles  shingle over word tokens instead of characters
@@ -90,6 +89,10 @@ class NearDupConfig:
     threshold: float = 0.7
     simhash_bits: int = 64
     simhash_max_hamming: int = 8
+    # MinHash scheme: "oph" (one-permutation + rotation densification,
+    # default) or "classic" (K independent permutations); part of the
+    # config hash so switching invalidates signature checkpoints
+    minhash_scheme: str = "oph"
     max_pairs_per_bucket: int = 2000
     seed: int = 42
     batch_size: int = 256

@@ -111,6 +111,7 @@ def run_neardup(
                 "text_column": cfg.text_column,
                 "id_column": cfg.id_column,
                 "use_token_shingles": cfg.use_token_shingles,
+                "scheme": cfg.minhash_scheme,
             },
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
