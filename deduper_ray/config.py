@@ -51,6 +51,12 @@ class DedupeConfig:
     # "shuffle": grouped first-wins over full rows — one wide all-to-all,
     #   no driver state; for dupe-heavy corpora
     dedupe_strategy: str = "broadcast"
+    # "full": dupes sink + report.dupes carry member row-id lists and
+    #   first-dupe JSON (reference parity; driver memory = dupe volume)
+    # "summary": dupes sink written DISTRIBUTED from the per-hash stats
+    #   (hash, first_found_row_number, dupe_count), report.dupes empty —
+    #   for adversarial dupe volumes (SCALE.md exact-dedup notes)
+    dupes_detail: str = "full"
 
 
 @dataclass(frozen=True)

@@ -140,8 +140,27 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
     n_preloaded = _count_seen_hashes(cfg)
     hash_count = unseen_groups + n_preloaded  # preload-inclusive, DeduperTest.kt:408
 
-    # -- dupe groups (bounded by dupe volume, like reference dupeMap) --
-    dupes_df = dupe_group_details(hashed, stats, columns_for_json=schema_cols)
+    # -- dupe groups (bounded by dupe volume, like reference dupeMap).
+    #    dupes_detail="summary" keeps everything distributed instead
+    #    (empty report.dupes; stats-derived sink below) ---------------
+    if cfg.dupes_detail == "summary":
+        dupes_df = pd.DataFrame(
+            {
+                "hash": pd.Series([], dtype=str),
+                "row_ids": pd.Series([], dtype=object),
+                "first_found_row_number": pd.Series([], dtype=np.int64),
+                "dupe_values": pd.Series([], dtype=str),
+            }
+        )
+        if cfg.target_path and cfg.dedupe_strategy != "shuffle":
+            raise ValueError(
+                "dupes_detail='summary' skips the driver drop-set; use "
+                "dedupe_strategy='shuffle' for the target sink"
+            )
+    else:
+        dupes_df = dupe_group_details(
+            hashed, stats, columns_for_json=schema_cols
+        )
 
     report = DedupeReport(
         record_count=record_count,
@@ -200,22 +219,58 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
 
     if cfg.dupes_path:
         os.makedirs(cfg.dupes_path, exist_ok=True)
-        dupes_sink = pa.table(
-            {
-                "hash": pa.array(dupes_df["hash"], type=pa.string()),
-                "row_ids": pa.array(
-                    [json.dumps(ids) for ids in dupes_df["row_ids"]], type=pa.string()
-                ),
-                "first_found_row_number": pa.array(
-                    dupes_df["first_found_row_number"], type=pa.int64()
-                ),
-                "dupe_values": pa.array(dupes_df["dupe_values"], type=pa.string()),
-            }
-        )
-        import pyarrow.parquet as pq
+        if cfg.dupes_detail == "summary":
+            # distributed: one row per duplicated hash straight from the
+            # per-hash stats — no member lists, no driver residency
+            def _dupe_summary(t: pa.Table) -> pa.Table:
+                dup = t.filter(
+                    pc.or_(
+                        pc.greater(t["n_rows"], 1),
+                        pc.greater(t["any_seen"], 0),
+                    )
+                )
+                seen = pc.greater(dup["any_seen"], 0)
+                first = pc.if_else(
+                    seen, pa.scalar(0, pa.int64()), dup["first_row_id"]
+                )
+                n_dupes = pc.subtract(
+                    dup["n_rows"],
+                    pc.cast(pc.equal(dup["any_seen"], 0), pa.int64()),
+                )
+                return pa.table(
+                    {
+                        "hash": dup[HASH_COL],
+                        "first_found_row_number": first,
+                        "dupe_count": n_dupes,
+                    }
+                )
 
-        pq.write_table(dupes_sink, os.path.join(cfg.dupes_path, "dupes.parquet"))
-        written["dupes"] = dupes_sink.num_rows
+            stats.map_batches(
+                _dupe_summary, batch_format="pyarrow"
+            ).write_parquet(cfg.dupes_path)
+            written["dupes"] = _count_parquet(cfg.dupes_path)
+        else:
+            dupes_sink = pa.table(
+                {
+                    "hash": pa.array(dupes_df["hash"], type=pa.string()),
+                    "row_ids": pa.array(
+                        [json.dumps(ids) for ids in dupes_df["row_ids"]],
+                        type=pa.string(),
+                    ),
+                    "first_found_row_number": pa.array(
+                        dupes_df["first_found_row_number"], type=pa.int64()
+                    ),
+                    "dupe_values": pa.array(
+                        dupes_df["dupe_values"], type=pa.string()
+                    ),
+                }
+            )
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                dupes_sink, os.path.join(cfg.dupes_path, "dupes.parquet")
+            )
+            written["dupes"] = dupes_sink.num_rows
 
     if cfg.hashes_path:
         # newly-seen hashes; with include_json the keeper row rides along

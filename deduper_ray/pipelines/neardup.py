@@ -154,9 +154,23 @@ def run_neardup(
             max_pairs_per_bucket=cfg.max_pairs_per_bucket,
             id_column=cfg.id_column,
         )
-        cands, n_dropped = candidate_pair_dataset(
-            scanned, max_pairs_per_bucket=cfg.max_pairs_per_bucket
-        )
+        # adaptive resolution: below ~5M raw pair rows the driver
+        # collect + packed np.unique beats a second distributed sort;
+        # above it, pairs must stay a Dataset (the serial collect was
+        # the largest non-scaling term at 10^6 files)
+        scanned = scanned.materialize()
+        n_scanned = scanned.count()
+        if n_scanned <= 5_000_000:
+            from deduper_ray.stages.lsh import collect_candidate_pairs
+
+            ctbl, n_dropped = collect_candidate_pairs(
+                scanned, max_pairs_per_bucket=cfg.max_pairs_per_bucket
+            )
+            cands = rd.from_arrow(ctbl)
+        else:
+            cands, n_dropped = candidate_pair_dataset(
+                scanned, max_pairs_per_bucket=cfg.max_pairs_per_bucket
+            )
         cands = cands.materialize()
         if n_dropped:
             import logging
