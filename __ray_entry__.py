@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": q.q1_pricing_summary,
         "revenue_by_nation": q.revenue_by_nation,
         "topk_orders": q.topk_orders,
+        "topk_docs_per_lang": q.topk_docs_per_lang,
         "distinct_event_types": q.distinct_event_types,
         "union_high_low_value_events": q.union_high_low_value_events,
         # text analysis
@@ -134,6 +135,13 @@ def oracle_sql() -> dict[str, str]:
                    o_orderkey, o_totalprice
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "topk_docs_per_lang": """
+            SELECT lang, doc_id, n_chars FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY n_chars DESC, doc_id
+            ) <= 3
+            ORDER BY lang, n_chars DESC, doc_id
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY 1

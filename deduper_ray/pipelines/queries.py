@@ -265,6 +265,26 @@ def topk_orders(sf_dir: str) -> pd.DataFrame:
     return out[["rank", "o_orderkey", "o_totalprice"]]
 
 
+def topk_docs_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Top-3 longest docs per language (grouped top-k: per-block partial
+    + driver merge; the per-language curation shape)."""
+    from deduper_ray.stages.relational import grouped_top_k
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+    out = grouped_top_k(
+        ds, 3, group_keys=["lang"], sort_keys=["n_chars", "doc_id"],
+        descending=[True, False],
+    ).to_pandas()
+    return (
+        out[["lang", "doc_id", "n_chars"]]
+        .sort_values(["lang", "n_chars", "doc_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
 def distinct_event_types(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
     df = dataset_to_table(distinct(ds, ["event_type"])).to_pandas()

@@ -142,6 +142,45 @@ def asof_join(
     return left.map_batches(_asof, batch_format="pandas")
 
 
+def grouped_top_k(
+    ds: rd.Dataset,
+    k: int,
+    *,
+    group_keys: list[str],
+    sort_keys: list[str],
+    descending: list[bool] | bool = True,
+) -> pa.Table:
+    """Top-k rows PER GROUP without a global shuffle: each block keeps
+    its local per-group top-k (vectorized pandas groupby head), the
+    driver merges ≤ #blocks × #groups-in-block × k rows. Right for
+    few-to-moderate group counts (per-language/per-source selections);
+    for millions of groups use a sort on (group, keys) + run scan."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_keys)
+    ascending = [not d for d in descending]
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(sort_keys, ascending=ascending)
+            .groupby(group_keys, sort=False)
+            .head(k)
+        )
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    cand = dataset_to_table(
+        ds.map_batches(_partial, batch_format="pandas")
+    ).to_pandas()
+    out = (
+        cand.sort_values(sort_keys, ascending=ascending)
+        .groupby(group_keys, sort=False)
+        .head(k)
+        .sort_values(group_keys + sort_keys, ascending=[True] * len(group_keys) + ascending)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def distinct(ds: rd.Dataset, columns: list[str]) -> rd.Dataset:
     """Distinct rows over ``columns``: batch-local dedup first (cheap,
     shrinks the shuffle), then the native groupby-count collapse."""
