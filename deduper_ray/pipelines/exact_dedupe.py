@@ -95,6 +95,15 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
     (state/lineage.py) — same idea, disk-backed; the object store
     spills to disk under memory pressure either way.
     """
+    if cfg.dupes_detail == "summary" and cfg.hashes_path and cfg.include_json:
+        # same upfront guard as the target sink: summary mode has no
+        # driver drop-set, so the include_json hashes sink would write
+        # every row and only fail later at K5 reconciliation
+        raise ValueError(
+            "dupes_detail='summary' skips the driver drop-set; "
+            "hashes_path with include_json=True requires "
+            "dupes_detail='full'"
+        )
     hashed, schema_cols = build_hashed_dataset(cfg)
     hash_keys = list(cfg.hash_keys or schema_cols)
     if materialize:

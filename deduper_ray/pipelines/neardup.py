@@ -58,6 +58,9 @@ class NearDupResult:
     stages_skipped: list[str] = field(default_factory=list)
     wall_sec: float = 0.0
     stage_sec: dict = field(default_factory=dict)
+    # non-timing counters (edge counts etc.) — kept OUT of stage_sec so
+    # the timing dict stays single-unit (seconds)
+    counters: dict = field(default_factory=dict)
 
     def clusters(self) -> rd.Dataset:
         return read_stage(os.path.join(self.out_dir, "clusters"))
@@ -79,6 +82,7 @@ def run_neardup(
 ) -> NearDupResult:
     t_start = time.time()
     stage_sec: dict[str, float] = {}
+    counters: dict[str, int] = {}
     os.makedirs(out_dir, exist_ok=True)
     chash = config_hash(asdict(cfg))
     skipped: list[str] = []
@@ -143,7 +147,7 @@ def run_neardup(
                 signatures, id_column=cfg.id_column
             )
             if ident_edges.num_rows:
-                stage_sec["collapsed_identical"] = ident_edges.num_rows
+                counters["collapsed_identical_edges"] = ident_edges.num_rows
             # NOT materialized: the rep filter is consumed exactly once
             # (by the band explode) and fuses into that streaming pass
         from deduper_ray.stages.lsh import candidate_pair_dataset
@@ -289,6 +293,7 @@ def run_neardup(
         stages_skipped=skipped,
         wall_sec=time.time() - t_start,
         stage_sec=stage_sec,
+        counters=counters,
     )
     with open(os.path.join(out_dir, "report.json"), "w") as f:
         json.dump(asdict(result), f, indent=2)

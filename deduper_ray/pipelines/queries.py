@@ -69,16 +69,43 @@ def _cents(arr, scale: int = 100) -> "np.ndarray":
 
 def dedup_target_docs(sf_dir: str) -> pd.DataFrame:
     """Exact dedup of documents on text (first-occurrence by doc_id):
-    SURVEY O6/O7 over the testdata table."""
+    SURVEY O6/O7 over the testdata table.
+
+    Scale shape: the broadcast side is the DUPED groups only (hash →
+    keeper id), bounded by dupe volume — NOT the keeper set, which is
+    O(corpus). A row is dropped iff its hash is duped AND it isn't the
+    group's min-id keeper."""
     hashed = _docs_hashed(sf_dir, ("text",))
-    keep = hashed.groupby(HASH_COL).aggregate(Min("doc_id", alias_name="keep_id"))
-    keep_ids = dataset_to_table(keep)["keep_id"]
-    ids_ref = ray.put(pc.unique(keep_ids))
+    stats = hashed.groupby(HASH_COL).aggregate(
+        Min("doc_id", alias_name="keep_id"),
+        Count(alias_name="n_rows"),
+    )
+    duped = dataset_to_table(
+        stats.map_batches(
+            lambda t: t.filter(pc.greater(t["n_rows"], 1)).select(
+                [HASH_COL, "keep_id"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    keep_map = dict(
+        zip(duped[HASH_COL].to_pylist(), duped["keep_id"].to_pylist())
+    )
+    map_ref = ray.put({"set": pc.unique(duped[HASH_COL]), "map": keep_map})
 
     def _filter(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.is_in(t["doc_id"], value_set=ray.get(ids_ref))
-        ).drop_columns([HASH_COL])
+        m = ray.get(map_ref)
+        duped_mask = pc.is_in(
+            t[HASH_COL], value_set=m["set"]
+        ).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ids), dtype=bool)
+        idx = np.nonzero(duped_mask)[0]
+        if idx.size:  # python loop bounded by DUPE rows in the batch
+            hashes = t[HASH_COL].take(pa.array(idx)).to_pylist()
+            for i, h in zip(idx, hashes):
+                keep[i] = ids[i] == m["map"][h]
+        return t.filter(pa.array(keep)).drop_columns([HASH_COL])
 
     out = hashed.map_batches(_filter, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -134,14 +134,24 @@ def brute_force_topk(
 
 
 class HyperplaneSigner:
-    """Actor-pool stage: embedding → 64-bit random-hyperplane sign
-    signature (cosine-LSH); reuses the text LSH banding downstream."""
+    """Actor-pool stage: embedding → ``bits``-bit random-hyperplane sign
+    signature (cosine-LSH); the signature is exposed as ``bands`` chunks
+    of ``bits // bands`` sign bits each so the text LSH banding applies
+    downstream (one chunk = one band, r=1 in BandExploder terms).
 
-    def __init__(self, *, dim: int, bits: int = 64, seed: int = 42,
+    P(bucket match per band) = (1 − θ/π)^(bits/bands) — fewer bits per
+    band + more bands = higher recall at lower cosine thresholds."""
+
+    def __init__(self, *, dim: int, bits: int = 64, bands: int = 8,
+                 seed: int = 42,
                  id_column: str = "vec_id", vec_column: str = "embedding"):
+        if bits % bands:
+            raise ValueError("bits must be divisible by bands")
         rng = np.random.RandomState(seed)
         self.planes = rng.standard_normal((bits, dim))
         self.bits = bits
+        self.bands = bands
+        self.band_bits = bits // bands
         self.id_column = id_column
         self.vec_column = vec_column
 
@@ -149,11 +159,19 @@ class HyperplaneSigner:
         mat = _to_matrix(batch[self.vec_column]).astype(np.float64)
         proj = mat @ self.planes.T  # (B, bits)
         bitvals = (proj > 0).astype(np.uint64)
-        sig = (bitvals << np.arange(self.bits, dtype=np.uint64)).sum(axis=1)
-        # expose as a fixed_size_list<uint64, 8> of bytes-like chunks so
-        # BandExploder's per-band grouping applies (8 bands × 8 bits)
+        sig = np.zeros(len(bitvals), dtype=np.uint64)
+        for i in range(min(self.bits, 64)):
+            sig |= bitvals[:, i] << np.uint64(i)
+        mask = np.uint64((1 << self.band_bits) - 1)
         chunks = np.stack(
-            [(sig >> np.uint64(8 * i)) & np.uint64(0xFF) for i in range(8)],
+            [
+                (
+                    bitvals[:, i * self.band_bits:(i + 1) * self.band_bits]
+                    << np.arange(self.band_bits, dtype=np.uint64)
+                ).sum(axis=1)
+                & mask
+                for i in range(self.bands)
+            ],
             axis=1,
         )
         return pa.table(
@@ -163,12 +181,51 @@ class HyperplaneSigner:
                     type=pa.int64(),
                 ),
                 "minhash": pa.FixedSizeListArray.from_arrays(
-                    pa.array(chunks.reshape(-1), type=pa.uint64()), 8
+                    pa.array(chunks.reshape(-1), type=pa.uint64()), self.bands
                 ),
                 "simhash": pa.array(sig, type=pa.uint64()),
                 "n_shingles": pa.array(
                     np.full(len(sig), 1, dtype=np.int64)
                 ),
+            }
+        )
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
+
+
+class _CosineScorer:
+    """Stateless-task scorer: per pair batch, gather the two endpoint
+    vectors from the broadcast normalized sub-matrix and emit exact
+    cosine ≥ threshold survivors."""
+
+    def __init__(self, store_ref: ray.ObjectRef, threshold: float):
+        self.store_ref = store_ref
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from deduper_ray.stages.relational import _fetch_broadcast
+
+        store = _fetch_broadcast(self.store_ref)
+        sorted_ids, mat = store["ids"], store["mat"]
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(sorted_ids, a)
+        ib = np.searchsorted(sorted_ids, b)
+        cos = (mat[ia] * mat[ib]).sum(axis=1)
+        keep = cos >= self.threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], type=pa.int64()),
+                "id_b": pa.array(b[keep], type=pa.int64()),
+                "cosine": pa.array(cos[keep], type=pa.float64()),
             }
         )
 
@@ -181,47 +238,90 @@ def embedding_neardup(
     seed: int = 42,
     id_column: str = "vec_id",
     vec_column: str = "embedding",
+    bits: int = 64,
+    bands: int = 8,
     max_pairs_per_bucket: int = 2000,
+    collect_threshold: int = 5_000_000,
 ) -> pa.Table:
     """Near-duplicate embedding pairs: hyperplane-LSH candidates →
-    exact cosine verify. Returns (id_a, id_b, cosine)."""
+    exact cosine verify. Returns (id_a, id_b, cosine), id_a < id_b.
+
+    Adaptive candidate resolution (same switch as the text pipeline,
+    pipelines/neardup.py): below ``collect_threshold`` raw pair rows
+    the driver collect + packed np.unique beats a second distributed
+    sort; above it the pairs stay a Dataset end-to-end and scoring
+    fans out as stateless tasks over the broadcast vector store
+    (bounded by candidate ENDPOINTS, not pairs). Tune
+    ``bands``/``bits`` per threshold: recall per band is
+    (1 − θ/π)^(bits/bands)."""
+    import pyarrow.compute as pc
+
     from deduper_ray.functions.util import dataset_to_table
-    from deduper_ray.stages.lsh import candidate_pairs, collect_candidate_pairs
+    from deduper_ray.stages.lsh import (
+        candidate_pair_dataset,
+        candidate_pairs,
+        collect_candidate_pairs,
+    )
 
     signed = embeddings.map_batches(
         HyperplaneSigner,
         fn_constructor_kwargs={
-            "dim": dim, "seed": seed,
+            "dim": dim, "bits": bits, "bands": bands, "seed": seed,
             "id_column": id_column, "vec_column": vec_column,
         },
         batch_format="pyarrow",
         concurrency=(1, 2),
     ).materialize()
-    cands, _dropped = collect_candidate_pairs(
-        candidate_pairs(
-            signed, bands=8, max_pairs_per_bucket=max_pairs_per_bucket
-        ),
-        max_pairs_per_bucket=max_pairs_per_bucket,
-    )
-    if cands.num_rows == 0:
-        return pa.table(
-            {
-                "id_a": pa.array([], type=pa.int64()),
-                "id_b": pa.array([], type=pa.int64()),
-                "cosine": pa.array([], type=pa.float64()),
-            }
+    scanned = candidate_pairs(
+        signed, bands=bands, max_pairs_per_bucket=max_pairs_per_bucket
+    ).materialize()
+    n_scanned = scanned.count()
+    if n_scanned <= collect_threshold:
+        ctbl, n_dropped = collect_candidate_pairs(
+            scanned, max_pairs_per_bucket=max_pairs_per_bucket
         )
-    # exact verify: gather candidate vectors once (broadcast id filter)
-    import pyarrow.compute as pc
+        cands = rd.from_arrow(ctbl) if ctbl.num_rows else None
+        n_cands = ctbl.num_rows
+    else:
+        cands, n_dropped = candidate_pair_dataset(
+            scanned, max_pairs_per_bucket=max_pairs_per_bucket
+        )
+        cands = cands.materialize()
+        n_cands = cands.count()
+    if n_dropped:
+        import logging
 
-    ids = np.unique(
-        np.concatenate(
-            [
-                cands["id_a"].to_numpy(zero_copy_only=False),
-                cands["id_b"].to_numpy(zero_copy_only=False),
-            ]
+        logging.getLogger(__name__).warning(
+            "hyperplane-LSH bucket cap dropped %d candidate pairs "
+            "(max_pairs_per_bucket=%d)", n_dropped, max_pairs_per_bucket,
         )
+    if not n_cands:
+        return _empty_pairs()
+
+    # endpoint id set: per-block local unique, tiny driver union —
+    # bounded by candidate DOCS (≪ pairs)
+    id_blocks = dataset_to_table(
+        cands.map_batches(
+            lambda t: pa.table(
+                {
+                    "id": pa.array(
+                        np.unique(
+                            np.concatenate(
+                                [
+                                    t["id_a"].to_numpy(zero_copy_only=False),
+                                    t["id_b"].to_numpy(zero_copy_only=False),
+                                ]
+                            )
+                        ),
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("id", pa.int64())]),
     )
+    ids = np.unique(id_blocks["id"].to_numpy(zero_copy_only=False))
     ids_ref = ray.put(pa.array(ids, type=pa.int64()))
     sub = dataset_to_table(
         embeddings.map_batches(
@@ -233,16 +333,23 @@ def embedding_neardup(
     )
     sub_ids = sub[id_column].to_numpy(zero_copy_only=False)
     order = np.argsort(sub_ids)
-    mat = _normalize(_to_matrix(sub[vec_column]))[order]
-    sorted_ids = sub_ids[order]
-    ia = np.searchsorted(sorted_ids, cands["id_a"].to_numpy(zero_copy_only=False))
-    ib = np.searchsorted(sorted_ids, cands["id_b"].to_numpy(zero_copy_only=False))
-    cos = (mat[ia] * mat[ib]).sum(axis=1)
-    keep = cos >= cosine_threshold
-    return pa.table(
+    store_ref = ray.put(
         {
-            "id_a": cands["id_a"].filter(pa.array(keep)),
-            "id_b": cands["id_b"].filter(pa.array(keep)),
-            "cosine": pa.array(cos[keep], type=pa.float64()),
+            "ids": sub_ids[order],
+            "mat": _normalize(_to_matrix(sub[vec_column]))[order],
         }
     )
+    verified = dataset_to_table(
+        cands.map_batches(
+            _CosineScorer(store_ref, cosine_threshold),
+            batch_format="pyarrow",
+        ),
+        _empty_pairs().schema,
+    )
+    order = np.lexsort(
+        (
+            verified["id_b"].to_numpy(zero_copy_only=False),
+            verified["id_a"].to_numpy(zero_copy_only=False),
+        )
+    )
+    return verified.take(pa.array(order, type=pa.int64()))

@@ -172,7 +172,11 @@ class MinHashSigner:
                 fill_src[need] = rolled[need]
                 dist[need] = rolled_dist[need]
                 shift *= 2
-            borrowed = fill_src + dist * C
+            # mask to 31 bits so the documented <2^31 invariant holds
+            # for densified slots too (uint32 storage truncates
+            # consistently either way, but the masked form keeps the
+            # stated invariant true and the collision bound tight)
+            borrowed = (fill_src + dist * C) & MERSENNE31
             grid[empty] = borrowed[empty]
         sigs[ne] = grid
 

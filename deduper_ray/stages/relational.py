@@ -22,18 +22,24 @@ import ray.data as rd
 
 
 # Per-worker-process cache of fetched broadcast sides. ray.get on a
-# local object is cheap, but a pandas payload still deserializes per
-# call — the cache makes that once per worker process instead of once
-# per batch.
-_BROADCAST_CACHE: dict[bytes, pd.DataFrame] = {}
+# local object is cheap, but the payload still deserializes per call —
+# the cache makes that once per worker process instead of once per
+# batch. Capped at 2 entries (only the current job's side is ever
+# reused; unbounded growth leaks worker heap on long-lived clusters).
+_BROADCAST_CACHE: dict[bytes, object] = {}
 
 
-def _fetch_broadcast(ref: ray.ObjectRef) -> pd.DataFrame:
+def _fetch_broadcast(ref: ray.ObjectRef):
     key = ref.binary()
-    df = _BROADCAST_CACHE.get(key)
-    if df is None:
-        df = _BROADCAST_CACHE[key] = ray.get(ref)
-    return df
+    obj = _BROADCAST_CACHE.get(key)
+    if obj is None:
+        if len(_BROADCAST_CACHE) >= 2:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+        obj = _BROADCAST_CACHE[key] = ray.get(ref)
+    return obj
+
+
+_JOIN_TYPES = {"inner": "inner", "left": "left outer", "right": "right outer"}
 
 
 def broadcast_join(
@@ -45,22 +51,29 @@ def broadcast_join(
 ) -> rd.Dataset:
     """Join ``left`` (big, streamed) with ``right`` (small, broadcast).
 
+    Arrow-native: the broadcast side rides the object store as a
+    ``pa.Table`` and each batch does one zero-copy-in ``pa.Table.join``
+    (acero hash join) — no per-batch pandas round-trip.
+
     Deliberately STATELESS tasks, not an actor pool: chained joins as
     actor pools each reserve ``concurrency`` CPUs and can deadlock a
     small cluster (pools starving the read/shuffle stages); stateless
     tasks share the CPU pool elastically, and the per-process cache
     gives the same fetch-once behavior an actor would.
     """
-    if isinstance(right, pa.Table):
-        right = right.to_pandas()
+    if isinstance(right, pd.DataFrame):
+        right = pa.Table.from_pandas(right, preserve_index=False)
     on = [on] if isinstance(on, str) else list(on)
-    right_ref = ray.put(right)
+    right_ref = ray.put(right.combine_chunks())
+    join_type = _JOIN_TYPES.get(how, how)
 
-    def _join(batch: pd.DataFrame) -> pd.DataFrame:
+    def _join(batch: pa.Table) -> pa.Table:
         r = _fetch_broadcast(right_ref)
-        return batch.merge(r, on=on, how=how, suffixes=("", "_r"))
+        return batch.join(
+            r, keys=on, join_type=join_type, right_suffix="_r"
+        )
 
-    return left.map_batches(_join, batch_format="pandas")
+    return left.map_batches(_join, batch_format="pyarrow")
 
 
 def partitioned_join(

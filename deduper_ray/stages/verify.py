@@ -264,7 +264,7 @@ def verify_pairs(
                     store = _store_from_table(
                         pa.concat_tables(tbls), id_column
                     )
-                    verifier = _VERIFIER_CACHE[cache_key] = PairVerifier(store)
+                    verifier = _cache_verifier(cache_key, PairVerifier(store))
                 return _keep(verifier(batch))
 
             cap = _scoring_cap()
@@ -325,7 +325,7 @@ def verify_pairs(
         key = store_ref.binary()
         verifier = _VERIFIER_CACHE.get(key)
         if verifier is None:
-            verifier = _VERIFIER_CACHE[key] = PairVerifier(store_ref)
+            verifier = _cache_verifier(key, PairVerifier(store_ref))
         return _keep(verifier(batch))
 
     # one block per slice (no repartition shuffle): from_arrow over a
@@ -648,4 +648,14 @@ def _scoring_cap() -> int:
     return max(4, min(16, cpus - 2))
 
 
+# Capped at 2 entries: only the current job's store is ever reused;
+# unbounded growth (~0.5 GB per 10^6-doc store) leaks worker heap on
+# long-lived clusters running repeated verification jobs.
 _VERIFIER_CACHE: dict[bytes, "PairVerifier"] = {}
+
+
+def _cache_verifier(key: bytes, verifier: "PairVerifier") -> "PairVerifier":
+    if len(_VERIFIER_CACHE) >= 2 and key not in _VERIFIER_CACHE:
+        _VERIFIER_CACHE.pop(next(iter(_VERIFIER_CACHE)))
+    _VERIFIER_CACHE[key] = verifier
+    return verifier
