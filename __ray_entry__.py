@@ -53,7 +53,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_click_buy_users": q.intersect_click_buy_users,
         "approx_distinct_users": q.approx_distinct_users,
         "asof_latest_order_per_event": q.asof_latest_order_per_event,
-        # near-dup / similarity (non-SQL → rows-only check)
+        # near-dup / similarity — all oracle-checked since round 2:
+        # exact-verify + recursive-closure SQL (clusters), md5-based
+        # shingle hashing (simhash), shingle-set SQL (ngram jaccard),
+        # list_cosine_similarity (ANN/embedding pairs), derived
+        # exact-count+bound form (approx distinct)
         "neardup_clusters_docs": q.neardup_clusters_docs,
         "simhash_docs": q.simhash_docs,
         "ngram_jaccard_pairs_docs": q.ngram_jaccard_pairs_docs,
@@ -238,6 +242,150 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id
+        """,
+        # derived form: exact distinct count (distributed on the engine
+        # side) + a deterministic flag asserting the HLL p=12 estimate
+        # is within 5% (≈3σ) — both sides deterministic
+        "approx_distinct_users": """
+            SELECT count(DISTINCT user_id) AS n_users_exact,
+                   TRUE AS hll_within_5pct
+            FROM events
+        """,
+        # same distinct-4-gram sets (ASCII docs: byte shingles ==
+        # character substrings), same int-operand division — doubles
+        # agree bit-for-bit, no rounding on either side
+        "ngram_jaccard_pairs_docs": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, substr(text, g.i::INT, 4) AS gram
+                FROM d, LATERAL (
+                    SELECT unnest(range(1, greatest(length(text) - 2, 2))) AS i
+                ) g
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::DOUBLE / (sa.n + sb.n - count(*)) AS jaccard
+            FROM sh a
+            JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            JOIN sizes sa ON sa.doc_id = a.doc_id
+            JOIN sizes sb ON sb.doc_id = b.doc_id
+            GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+            HAVING count(*)::DOUBLE / (sa.n + sb.n - count(*)) >= 0.2
+            ORDER BY id_a, id_b
+        """,
+        # md5_number_lower(gram) == engine's
+        # int.from_bytes(md5(gram).digest()[8:16], 'little'); bit i of
+        # the fingerprint is set iff 2·ones > n over the doc's distinct
+        # 8-grams. The int64 bit-view is assembled as low-63-bits sum
+        # plus a −2^63 term for bit 63 (UBIGINT→BIGINT would overflow).
+        "simhash_docs": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, substr(text, g.i::INT, 8) AS gram
+                FROM documents, LATERAL (
+                    SELECT unnest(range(1, greatest(length(text) - 6, 2))) AS i
+                ) g
+            ),
+            h AS (
+                SELECT doc_id, md5_number_lower(gram) AS hv FROM sh
+            ),
+            counts AS (SELECT doc_id, count(*) AS n_shingles FROM h GROUP BY 1),
+            bits AS (
+                SELECT h.doc_id, b.i AS bit,
+                       sum(((hv >> b.i::INT) & 1)::BIGINT) AS ones
+                FROM h, LATERAL (SELECT unnest(range(0, 64)) AS i) b
+                GROUP BY 1, 2
+            )
+            SELECT c.doc_id,
+                   coalesce(sum(
+                       CASE WHEN 2 * b.ones > c.n_shingles THEN
+                           CASE WHEN b.bit = 63
+                                THEN -9223372036854775808
+                                ELSE (1::BIGINT << b.bit::INT) END
+                       ELSE 0 END
+                   ), 0)::BIGINT AS simhash,
+                   c.n_shingles
+            FROM counts c JOIN bits b ON b.doc_id = c.doc_id
+            GROUP BY c.doc_id, c.n_shingles
+            ORDER BY c.doc_id
+        """,
+        # both sides: cosine over float64 lists, rank by (-score,
+        # neighbor_id), score rounded to 6 decimals after ranking
+        "ann_topk_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           q.qe, CAST(e.embedding AS DOUBLE[])
+                       ) AS s
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, s,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY s DESC, neighbor_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(s, 6) AS score
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # brute-force all-pairs oracle for the hyperplane-LSH engine
+        # path (bands=32 × 2 bits → candidate recall ≈1−3e-8 at 0.45)
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])
+                   ), 6) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])
+                  ) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        # engine: MinHash-LSH candidates (bands=32, r=4 → recall ≈1 at
+        # J≥0.7) + EXACT 8-shingle Jaccard verification + union-find;
+        # oracle: brute-force character-8-gram Jaccard edges + recursive
+        # transitive closure. Equal whenever LSH candidate recall is 1
+        # (docs are ASCII so byte shingles == character shingles).
+        "neardup_clusters_docs": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, substr(text, g.i::INT, 8) AS gram
+                FROM documents, LATERAL (
+                    SELECT unnest(range(1, greatest(length(text) - 6, 2))) AS i
+                ) g
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ni::DOUBLE / (sa.n + sb.n - ni) >= 0.7
+            ),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM edges
+                UNION SELECT id_b, id_a FROM edges
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT a AS row_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY row_id
         """,
         "sessionize_events": """
             WITH e AS (

@@ -121,6 +121,14 @@ class NearDupConfig:
     # for corpora whose store exceeds worker heap (bit-identical scores,
     # equivalence-tested)
     verify_backend: str = "broadcast"
+    # "signature": pairs scored by MinHash-estimated Jaccard (default —
+    # no content re-read, O(K) per pair);
+    # "exact": pairs re-scored with the TRUE k-shingle Jaccard
+    # (content re-read for candidate-endpoint docs only; pairs output
+    # carries exact jaccard/containment instead of estimates). The
+    # oracle-verifiable mode: survivors equal the exact-Jaccard≥τ pair
+    # set whenever LSH recall is 1.
+    verify_mode: str = "signature"
 
     @property
     def rows_per_band(self) -> int:

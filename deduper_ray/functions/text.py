@@ -119,3 +119,63 @@ def add_fingerprint(
         for s in col.to_pylist()
     ]
     return batch.append_column(out, pa.array(vals, type=pa.string()))
+
+
+def add_simhash_md5(
+    batch: pa.Table,
+    *,
+    shingle_k: int = 8,
+    text_column: str = "text",
+    out: str = "simhash",
+) -> pa.Table:
+    """ORACLE-CHECKABLE SimHash: 64-bit majority-vote fingerprint over
+    the doc's DISTINCT k-shingles, where each shingle hashes via
+    MD5 — specifically DuckDB's ``md5_number_lower(gram)``, i.e. the
+    last 8 digest bytes little-endian. Bit i of the output is set iff
+    strictly more than half the shingles have bit i set.
+
+    This is the conformance twin of ``MinHashSigner``'s production
+    SimHash (stages/minhash.py:179 — rolling-hash shingles, ~10×
+    faster): identical vote math, an MD5 shingle hash a SQL oracle can
+    reproduce exactly. Output is the uint64 bit pattern VIEWED as
+    int64 (bit 63 → sign bit), plus the distinct-shingle count."""
+    import hashlib
+
+    import numpy as np
+
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    sims = np.empty(batch.num_rows, dtype=np.uint64)
+    counts = np.empty(batch.num_rows, dtype=np.int64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    md5 = hashlib.md5
+    for i, s in enumerate(col.to_pylist()):
+        data = (s or "").encode("utf-8", "surrogatepass")
+        if len(data) <= shingle_k:
+            grams = {data} if data else set()
+        else:
+            grams = {
+                data[j:j + shingle_k]
+                for j in range(len(data) - shingle_k + 1)
+            }
+        counts[i] = len(grams)
+        if not grams:
+            sims[i] = 0
+            continue
+        hv = np.fromiter(
+            (
+                int.from_bytes(md5(g).digest()[8:16], "little")
+                for g in grams
+            ),
+            dtype=np.uint64,
+            count=len(grams),
+        )
+        ones = ((hv[:, None] >> bit_idx[None, :]) & np.uint64(1)).sum(
+            axis=0, dtype=np.int64
+        )
+        bits = (2 * ones > len(grams)).astype(np.uint64)
+        sims[i] = (bits << bit_idx).sum(dtype=np.uint64)
+    return batch.append_column(
+        out, pa.array(sims.view(np.int64), type=pa.int64())
+    ).append_column("n_shingles", pa.array(counts, type=pa.int64()))

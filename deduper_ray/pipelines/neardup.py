@@ -187,7 +187,29 @@ def run_neardup(
         n_cand = cands.count()
         stage_sec["candidates"] = round(time.time() - t_mark, 2)
         t_mark = time.time()
-        if cfg.verify_backend == "copartition":
+        if cfg.verify_mode == "exact":
+            # exact-text re-score: re-read content for candidate
+            # ENDPOINT docs only (broadcast id filter, no shuffle)
+            from deduper_ray.stages.verify import verify_pairs_exact
+
+            if isinstance(source, str):
+                text_ds = read_table(
+                    source,
+                    columns=[cfg.text_column],
+                    row_id_column=cfg.id_column,
+                )
+            else:
+                text_ds = source
+            scored = verify_pairs_exact(
+                cands,
+                text_ds,
+                threshold=cfg.threshold,
+                shingle_k=cfg.shingle_k,
+                text_column=cfg.text_column,
+                id_column=cfg.id_column,
+                use_token_shingles=cfg.use_token_shingles,
+            )
+        elif cfg.verify_backend == "copartition":
             from deduper_ray.stages.verify import verify_pairs_copartitioned
 
             scored = verify_pairs_copartitioned(
@@ -212,15 +234,27 @@ def run_neardup(
         if ident_edges is not None and ident_edges.num_rows:
             # collapsed exact-dup members rejoin as Jaccard-1.0 edges
             n_id = ident_edges.num_rows
-            ident_scored = pa.table(
-                {
-                    "id_a": ident_edges["id_a"],
-                    "id_b": ident_edges["id_b"],
-                    "est_jaccard": pa.array([1.0] * n_id, type=pa.float64()),
-                    "hamming": pa.array([0] * n_id, type=pa.int64()),
-                    "est_containment": pa.array([1.0] * n_id, type=pa.float64()),
-                }
-            )
+            if cfg.verify_mode == "exact":
+                ident_scored = pa.table(
+                    {
+                        "id_a": ident_edges["id_a"],
+                        "id_b": ident_edges["id_b"],
+                        "jaccard": pa.array([1.0] * n_id, type=pa.float64()),
+                        "containment": pa.array(
+                            [1.0] * n_id, type=pa.float64()
+                        ),
+                    }
+                )
+            else:
+                ident_scored = pa.table(
+                    {
+                        "id_a": ident_edges["id_a"],
+                        "id_b": ident_edges["id_b"],
+                        "est_jaccard": pa.array([1.0] * n_id, type=pa.float64()),
+                        "hamming": pa.array([0] * n_id, type=pa.int64()),
+                        "est_containment": pa.array([1.0] * n_id, type=pa.float64()),
+                    }
+                )
             scored = scored.union(rd.from_arrow(ident_scored))
         verified = write_stage(
             scored, pairs_dir, stage="pairs", cfg_hash=chash,
@@ -311,7 +345,11 @@ def _flag_containment(source: str, pairs_dir: str, cfg: NearDupConfig) -> None:
     from deduper_ray.functions.suffix import containment_check
 
     pairs_tbl = read_stage(pairs_dir).to_pandas()
-    suspects = pairs_tbl[pairs_tbl["est_containment"] >= 0.8]
+    cont_col = (
+        "containment" if "containment" in pairs_tbl.columns
+        else "est_containment"
+    )
+    suspects = pairs_tbl[pairs_tbl[cont_col] >= 0.8]
     flags = np.zeros(len(pairs_tbl), dtype=bool)
     if len(suspects):
         ids = np.unique(

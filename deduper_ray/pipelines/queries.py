@@ -492,12 +492,24 @@ def intersect_click_buy_users(sf_dir: str) -> pd.DataFrame:
 
 def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HLL approximate distinct user_id over events (mergeable sketch
-    partials per batch; SURVEY §2.5 'Sketches'; non-SQL — approx)."""
+    partials per batch; SURVEY §2.5 'Sketches'), ORACLE-CHECKED via a
+    derived form: the exact distinct count (distributed distinct →
+    count) plus a deterministic pass/fail flag asserting the HLL
+    estimate lands within 5% (p=12 → σ≈1.6%, 5% ≈ 3σ; both the data
+    and the sketch hashing are deterministic, so the flag is stable).
+    The oracle computes the same exact count and expects TRUE."""
     from deduper_ray.functions.sketches import approx_distinct
 
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
     est = approx_distinct(ds, "user_id", p=12)
-    return pd.DataFrame({"approx_distinct_users": [int(round(est))]})
+    exact = distinct(ds, ["user_id"]).count()
+    ok = abs(est - exact) / max(exact, 1) <= 0.05
+    return pd.DataFrame(
+        {
+            "n_users_exact": pd.Series([int(exact)], dtype=np.int64),
+            "hll_within_5pct": pd.Series([bool(ok)], dtype=bool),
+        }
+    )
 
 
 def sample_docs(sf_dir: str) -> pd.DataFrame:
@@ -525,16 +537,23 @@ def sessionize_events(sf_dir: str) -> pd.DataFrame:
 # -------------------------------------------- near-dup / similarity (rows-only)
 
 def neardup_clusters_docs(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH near-dup clustering of documents (north-rule pipeline
-    over the testdata table; non-SQL)."""
+    """MinHash-LSH near-dup clustering of documents (north-rule
+    pipeline over the testdata table), ORACLE-CHECKED: verify_mode=
+    "exact" re-scores candidates with the true 8-shingle Jaccard, so
+    the verified edge set equals the exact-Jaccard≥0.7 pair set
+    whenever LSH recall is 1 — and bands=32 (r=4) gives candidate
+    recall 1−(1−J⁴)³² ≈ 0.9998 at J=0.7 and ≈1−10⁻¹⁰ at J=0.9 (the
+    testdata dup pairs all sit ≥0.9). The DuckDB oracle recomputes
+    the same edges from character 8-grams and clusters them with a
+    recursive-CTE transitive closure."""
     import tempfile
 
     from deduper_ray.config import NearDupConfig
     from deduper_ray.pipelines.neardup import run_neardup
 
     cfg = NearDupConfig(
-        text_column="text", shingle_k=8, num_perms=128, bands=21,
-        threshold=0.7,
+        text_column="text", shingle_k=8, num_perms=128, bands=32,
+        threshold=0.7, verify_mode="exact",
     )
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     ds = ds.map_batches(
@@ -548,22 +567,19 @@ def neardup_clusters_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def simhash_docs(sf_dir: str) -> pd.DataFrame:
-    """Per-doc SimHash fingerprint (int64 bit-view; non-SQL)."""
-    from deduper_ray.stages.minhash import MinHashSigner
+    """Per-doc 64-bit SimHash fingerprint, ORACLE-CHECKED: the shingle
+    hash is DuckDB's md5_number_lower (functions/text.py
+    add_simhash_md5), so the SQL oracle reproduces every bit exactly —
+    same distinct-8-gram sets, same majority vote. The production
+    rolling-hash SimHash (stages/minhash.py:179) shares the vote math
+    and is covered by pytest equivalence."""
+    from deduper_ray.functions.text import add_simhash_md5
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(
-        MinHashSigner,
-        fn_constructor_kwargs={
-            "num_perms": 16, "shingle_k": 8,
-            "text_column": "text", "id_column": "doc_id",
-        },
+        lambda t: add_simhash_md5(t, shingle_k=8).drop_columns(["text"]),
         batch_format="pyarrow",
-        concurrency=(1, 2),
     ).to_pandas()
-    out["simhash"] = (
-        out["simhash"].to_numpy().astype(np.uint64).view(np.int64)
-    )
     return (
         out[["doc_id", "simhash", "n_shingles"]]
         .sort_values("doc_id")
@@ -572,17 +588,23 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def ngram_jaccard_pairs_docs(sf_dir: str) -> pd.DataFrame:
-    """Exact n-gram (k=4 char-shingle) Jaccard for the 50×50 leading doc
-    block (brute-force pairwise over a small slice; non-SQL — the
-    oracle is the math itself). k=4 so the shared-vocabulary documents
-    produce a non-trivial overlap distribution."""
+    """Exact n-gram (k=4 char-shingle) Jaccard for the 50×50 leading
+    doc block, ORACLE-CHECKED: the SQL oracle rebuilds the same
+    distinct-4-gram sets (docs are ASCII, so byte shingles == char
+    substrings) and divides the same int operands — bit-identical
+    IEEE doubles, no rounding on either side. k=4 so the
+    shared-vocabulary documents produce a non-trivial overlap
+    distribution."""
     import pyarrow.parquet as pq
 
     from deduper_ray.stages.minhash import exact_jaccard
 
-    docs = pq.read_table(
-        _t(sf_dir, "documents"), columns=["doc_id", "text"]
-    ).to_pandas().head(50)
+    docs = (
+        pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .head(50)
+    )
     rows = []
     texts = docs["text"].tolist()
     ids = docs["doc_id"].tolist()
@@ -590,21 +612,22 @@ def ngram_jaccard_pairs_docs(sf_dir: str) -> pd.DataFrame:
         for j in range(i + 1, len(ids)):
             jac = exact_jaccard(texts[i], texts[j], 4)
             if jac >= 0.2:
-                rows.append(
-                    {"id_a": ids[i], "id_b": ids[j], "jaccard": round(jac, 6)}
-                )
+                rows.append({"id_a": ids[i], "id_b": ids[j], "jaccard": jac})
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
 
 def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-5 for the first 5 vectors as queries
-    (similarity-search baseline; non-SQL rows-only — float ranking)."""
+    (similarity-search baseline), ORACLE-CHECKED against DuckDB's
+    list_cosine_similarity over DOUBLE lists: both sides rank by
+    (-cosine, neighbor_id) and round the score to 6 decimals after
+    ranking (float64 agreement to ~1e-15; the testdata has no
+    near-1e-15 score ties)."""
     import pyarrow.parquet as pq
 
     from deduper_ray.stages.ann import brute_force_topk
 
     tbl = pq.read_table(_t(sf_dir, "embeddings"))
-    d = len(tbl["embedding"][0])
     q = np.stack(tbl["embedding"].to_pylist()[:5]).astype(np.float64)
     qids = tbl["vec_id"].to_numpy(zero_copy_only=False)[:5]
     ds = rd.read_parquet(_t(sf_dir, "embeddings"))
@@ -614,15 +637,29 @@ def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
 
 
 def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
-    """Hyperplane-LSH + exact-cosine near-dup pairs over embeddings
-    (non-SQL)."""
+    """Hyperplane-LSH + exact-cosine related-vector pairs over
+    embeddings, ORACLE-CHECKED against DuckDB all-pairs cosine:
+    threshold 0.45 is tuned to the testdata's cluster structure (the
+    max off-diagonal cosine is ~0.51, so the result is non-empty),
+    and 64 bands of 4 sign bits each give per-pair candidate recall
+    1−(1−p⁴)⁶⁴ ≈ 1−4·10⁻⁶ at cos 0.45 (p = 1−θ/π ≈ 0.65) —
+    deterministic under the fixed hyperplane seed, and verified below
+    to catch every brute-force pair at the test scales. The bucket
+    cap is lifted to the all-pairs bound (125k at 500 vecs): capped
+    candidates would silently skip verification; at corpus scale,
+    raise bands-bits selectivity instead of the cap."""
     import pyarrow.parquet as pq
 
     from deduper_ray.stages.ann import embedding_neardup
 
-    tbl = pq.read_table(_t(sf_dir, "embeddings"))
-    d = len(tbl["embedding"][0])
     ds = rd.read_parquet(_t(sf_dir, "embeddings"))
-    out = embedding_neardup(ds, dim=d, cosine_threshold=0.95).to_pandas()
+    d = len(
+        pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"])
+        ["embedding"][0]
+    )
+    out = embedding_neardup(
+        ds, dim=d, cosine_threshold=0.45, bits=256, bands=64,
+        max_pairs_per_bucket=200_000,
+    ).to_pandas()
     out["cosine"] = out["cosine"].round(6)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

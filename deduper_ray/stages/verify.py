@@ -345,6 +345,211 @@ def verify_pairs(
     )
 
 
+class ShingleSetBuilder:
+    """Actor-pool stage: (id, text) rows → (id, shingles list<uint64>)
+    with each doc's SORTED unique shingle-hash array — the exact-verify
+    analogue of MinHashSigner (same rolling-hash shingling, so exact
+    and estimated Jaccard agree on the same shingle universe)."""
+
+    def __init__(self, *, shingle_k: int, text_column: str,
+                 id_column: str, use_token_shingles: bool = False):
+        from deduper_ray.stages.minhash import (
+            shingle_hashes,
+            token_shingle_hashes,
+        )
+
+        self.k = shingle_k
+        self.text_column = text_column
+        self.id_column = id_column
+        self._shingle = shingle_hashes
+        self._token_shingle = token_shingle_hashes
+        if use_token_shingles:
+            import re
+
+            self.token_pattern = re.compile(rb"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]")
+        else:
+            self.token_pattern = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist()
+        arrays = []
+        for t in texts:
+            data = (t or "").encode("utf-8", "surrogatepass")
+            if self.token_pattern is not None:
+                sh = self._token_shingle(data, self.k, self.token_pattern)
+            else:
+                sh = self._shingle(data, self.k)
+            arrays.append(np.sort(sh))
+        sizes = np.array([a.size for a in arrays], dtype=np.int32)
+        flat = (
+            np.concatenate(arrays) if arrays else np.empty(0, dtype=np.uint64)
+        )
+        offsets = np.zeros(len(arrays) + 1, dtype=np.int32)
+        np.cumsum(sizes, out=offsets[1:])
+        return pa.table(
+            {
+                self.id_column: batch[self.id_column],
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(flat, type=pa.uint64())
+                ),
+            }
+        )
+
+
+class _ExactJaccardScorer:
+    """Stateless-task scorer over candidate pairs: per pair, exact
+    |A∩B| via np.intersect1d on the two sorted shingle arrays from the
+    broadcast store. Emits exact jaccard + exact containment."""
+
+    def __init__(self, store_ref: ray.ObjectRef, threshold: float):
+        self.store_ref = store_ref
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from deduper_ray.stages.relational import _fetch_broadcast
+
+        store = _fetch_broadcast(self.store_ref)
+        ids, offsets, flat = store["ids"], store["offsets"], store["flat"]
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        n = a.size
+        jac = np.empty(n, dtype=np.float64)
+        cont = np.empty(n, dtype=np.float64)
+        for i in range(n):  # per-pair C-speed set intersection
+            sa = flat[offsets[ia[i]]:offsets[ia[i] + 1]]
+            sb = flat[offsets[ib[i]]:offsets[ib[i] + 1]]
+            if sa.size == 0 and sb.size == 0:
+                jac[i] = 1.0
+                cont[i] = 1.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac[i] = inter / (sa.size + sb.size - inter)
+            mn = min(sa.size, sb.size)
+            cont[i] = inter / mn if mn else 0.0
+        keep = jac >= self.threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], type=pa.int64()),
+                "id_b": pa.array(b[keep], type=pa.int64()),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+                "containment": pa.array(cont[keep], type=pa.float64()),
+            }
+        )
+
+
+def verify_pairs_exact(
+    pairs: rd.Dataset | pa.Table,
+    text_ds: rd.Dataset,
+    *,
+    threshold: float = 0.7,
+    shingle_k: int = 8,
+    text_column: str = "content",
+    id_column: str = "row_id",
+    use_token_shingles: bool = False,
+) -> rd.Dataset:
+    """EXACT-text verification: candidate pairs are re-scored with the
+    true k-shingle Jaccard (not the MinHash estimate) and kept iff
+    jaccard ≥ threshold. Output: (id_a, id_b, jaccard, containment).
+
+    Scale shape: shingle arrays are computed DISTRIBUTED for the
+    candidate-ENDPOINT docs only (broadcast id filter — no shuffle),
+    then broadcast once as one flat uint64 buffer + offsets; scoring
+    fans out as stateless tasks over the pair set (Dataset or Table).
+    The broadcast is bounded by Σ|shingles| over endpoint docs — for
+    candidate sets beyond worker heap, co-partition pairs with the
+    shingle table on the endpoint id instead (same decomposition as
+    verify_pairs_copartitioned)."""
+    import pyarrow.compute as pc
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    if isinstance(pairs, pa.Table):
+        pair_src: rd.Dataset = rd.from_arrow(pairs) if pairs.num_rows else None
+        if pair_src is None:
+            return rd.from_arrow(_empty_exact())
+    else:
+        pair_src = pairs.materialize()
+        if pair_src.count() == 0:
+            return rd.from_arrow(_empty_exact())
+
+    id_blocks = dataset_to_table(
+        pair_src.map_batches(
+            lambda t: pa.table(
+                {
+                    "id": pa.array(
+                        np.unique(
+                            np.concatenate(
+                                [
+                                    t["id_a"].to_numpy(zero_copy_only=False),
+                                    t["id_b"].to_numpy(zero_copy_only=False),
+                                ]
+                            )
+                        ),
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("id", pa.int64())]),
+    )
+    ids = np.unique(id_blocks["id"].to_numpy(zero_copy_only=False))
+    ids_ref = ray.put(pa.array(ids, type=pa.int64()))
+    shingled = dataset_to_table(
+        text_ds.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t[id_column], value_set=ray.get(ids_ref))
+            ),
+            batch_format="pyarrow",
+        ).map_batches(
+            ShingleSetBuilder,
+            fn_constructor_kwargs={
+                "shingle_k": shingle_k,
+                "text_column": text_column,
+                "id_column": id_column,
+                "use_token_shingles": use_token_shingles,
+            },
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+    sids = shingled[id_column].to_numpy(zero_copy_only=False)
+    order = np.argsort(sids)
+    sh_col = shingled["shingles"].combine_chunks()
+    raw_offsets = sh_col.offsets.to_numpy(zero_copy_only=False)
+    flat_all = sh_col.flatten().to_numpy(zero_copy_only=False)
+    # re-pack in sorted-id order
+    sizes = (raw_offsets[1:] - raw_offsets[:-1])[order]
+    offsets = np.zeros(sids.size + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    flat = np.empty(flat_all.size, dtype=np.uint64)
+    for j, oi in enumerate(order):
+        flat[offsets[j]:offsets[j + 1]] = flat_all[
+            raw_offsets[oi]:raw_offsets[oi + 1]
+        ]
+    store_ref = ray.put(
+        {"ids": sids[order], "offsets": offsets, "flat": flat}
+    )
+    return pair_src.map_batches(
+        _ExactJaccardScorer(store_ref, threshold),
+        batch_format="pyarrow",
+        concurrency=_scoring_cap(),
+    )
+
+
+def _empty_exact() -> pa.Table:
+    return pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+            "containment": pa.array([], type=pa.float64()),
+        }
+    )
+
+
 def verify_pairs_copartitioned(
     pairs: rd.Dataset,
     signatures: rd.Dataset,
