@@ -15,19 +15,25 @@ from dataclasses import dataclass, field
 class DedupeConfig:
     """Exact-dedup job config (reference: config/Config.kt:19-55).
 
-    source              parquet file/dir/glob (reference S1/S2: SourceJndi)
+    source              parquet file/dir/glob, CSV, or a SQL source url
+                        ``sqlite:///path.db?table=T`` / ``?query=...``
+                        (reference S1/S2: SourceJndi, Deduper.kt:160-186)
     hash_keys           columns hashed for identity; empty → ALL columns in
                         schema order (reference: Deduper.kt:181-185)
     columns             optional read-time projection (pruned at the read)
     order_by            column defining the global first-occurrence order;
                         None → deterministic file/row-group ordinal
                         (reference row ordinal: Deduper.kt:241)
-    seen_hashes         optional parquet of previously-seen hashes
-                        (reference S3: HashSourceJndi, Deduper.kt:135-158)
+    seen_hashes         optional parquet (or sqlite url) of previously-
+                        seen hashes (reference S3: HashSourceJndi,
+                        Deduper.kt:135-158)
     seen_hash_column    column holding the hash in ``seen_hashes``
-    target_path         deduped-rows sink dir (None → skip, reference K1/K2)
-    dupes_path          dupe-group sink dir (None → skip, reference K3)
-    hashes_path         hash-table sink dir (None → skip, reference K4)
+    target_path         deduped-rows sink: dir, or SQL url
+                        ``sqlite:///path.db?table=T`` (reference K1/K2)
+    dupes_path          dupe-group sink: dir or ``sqlite:///path.db``
+                        (fixed ``dupes`` table, reference K3)
+    hashes_path         hash-table sink: dir or ``sqlite:///path.db``
+                        (fixed ``hashes`` table, reference K4)
     include_json        include json_row in the hashes output
                         (reference: jndi/JNDIType.kt:62-69)
     """

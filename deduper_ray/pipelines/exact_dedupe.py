@@ -59,7 +59,17 @@ def build_hashed_dataset(cfg: DedupeConfig) -> tuple[rd.Dataset, list[str]]:
         batch_format="pyarrow",
     )
     if cfg.seen_hashes:
-        seen_ref = load_seen_hashes(cfg.seen_hashes, cfg.seen_hash_column)
+        from deduper_ray.sources.sql_io import (
+            is_sqlite_url,
+            load_seen_hashes_sqlite,
+        )
+
+        if is_sqlite_url(cfg.seen_hashes):
+            seen_ref = load_seen_hashes_sqlite(
+                cfg.seen_hashes, cfg.seen_hash_column
+            )
+        else:
+            seen_ref = load_seen_hashes(cfg.seen_hashes, cfg.seen_hash_column)
         ds = ds.map_batches(
             SeenHashMarker,
             fn_constructor_kwargs={"seen_ref": seen_ref, "hash_col": HASH_COL},
@@ -77,7 +87,18 @@ def _count_seen_hashes(cfg: DedupeConfig) -> int:
     import pyarrow.parquet as pq
 
     from deduper_ray.sources.readers import _expand_paths
+    from deduper_ray.sources.sql_io import is_sqlite_url
 
+    if is_sqlite_url(cfg.seen_hashes):
+        import ray as _ray
+
+        from deduper_ray.sources.sql_io import load_seen_hashes_sqlite
+
+        return len(
+            _ray.get(
+                load_seen_hashes_sqlite(cfg.seen_hashes, cfg.seen_hash_column)
+            )
+        )
     tables = [
         pq.read_table(f, columns=[cfg.seen_hash_column])
         for f in _expand_paths(cfg.seen_hashes)
@@ -190,9 +211,18 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
     )
 
     # -- sinks ---------------------------------------------------------
+    from deduper_ray.sources.sql_io import (
+        is_sqlite_url,
+        parse_sqlite_url,
+        write_sqlite_dupes,
+        write_sqlite_hashes,
+        write_sqlite_table,
+    )
+
     written = {}
     if cfg.target_path:
-        os.makedirs(cfg.target_path, exist_ok=True)
+        if not is_sqlite_url(cfg.target_path):
+            os.makedirs(cfg.target_path, exist_ok=True)
         if cfg.dedupe_strategy == "shuffle":
             # dupe-heavy path: grouped first-wins over full rows — no
             # driver-resident drop set (stages/exact.py dedupe_shuffle)
@@ -213,7 +243,14 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                 lambda t: t.drop_columns([HASH_COL, SEEN_FLAG]),
                 batch_format="pyarrow",
             )
-        if cfg.target_format == "csv":
+        if is_sqlite_url(cfg.target_path):
+            # reference K2 SQL target (Persistors.kt:240-314): auto-DDL
+            # + batched INSERT into the named table
+            db, table, _ = parse_sqlite_url(cfg.target_path)
+            written["target"] = write_sqlite_table(
+                target, db, table or "target_data"
+            )
+        elif cfg.target_format == "csv":
             # reference K1 CSV target (Persistors.kt:147-179)
             from deduper_ray.sources.csv_io import write_csv_sink
 
@@ -227,7 +264,8 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
             written["target"] = _count_parquet(cfg.target_path)
 
     if cfg.dupes_path:
-        os.makedirs(cfg.dupes_path, exist_ok=True)
+        if not is_sqlite_url(cfg.dupes_path):
+            os.makedirs(cfg.dupes_path, exist_ok=True)
         if cfg.dupes_detail == "summary":
             # distributed: one row per duplicated hash straight from the
             # per-hash stats — no member lists, no driver residency
@@ -254,10 +292,17 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                     }
                 )
 
-            stats.map_batches(
+            summary_ds = stats.map_batches(
                 _dupe_summary, batch_format="pyarrow"
-            ).write_parquet(cfg.dupes_path)
-            written["dupes"] = _count_parquet(cfg.dupes_path)
+            )
+            if is_sqlite_url(cfg.dupes_path):
+                db, table, _ = parse_sqlite_url(cfg.dupes_path)
+                written["dupes"] = write_sqlite_table(
+                    summary_ds, db, table or "dupes", primary_key="hash"
+                )
+            else:
+                summary_ds.write_parquet(cfg.dupes_path)
+                written["dupes"] = _count_parquet(cfg.dupes_path)
         else:
             dupes_sink = pa.table(
                 {
@@ -274,12 +319,18 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                     ),
                 }
             )
-            import pyarrow.parquet as pq
+            if is_sqlite_url(cfg.dupes_path):
+                # reference K3 SQL dupes (Persistors.kt:325-385): fixed
+                # schema (hash PK, row_ids json, first_found, values)
+                db, _, _ = parse_sqlite_url(cfg.dupes_path)
+                written["dupes"] = write_sqlite_dupes(dupes_sink, db)
+            else:
+                import pyarrow.parquet as pq
 
-            pq.write_table(
-                dupes_sink, os.path.join(cfg.dupes_path, "dupes.parquet")
-            )
-            written["dupes"] = dupes_sink.num_rows
+                pq.write_table(
+                    dupes_sink, os.path.join(cfg.dupes_path, "dupes.parquet")
+                )
+                written["dupes"] = dupes_sink.num_rows
 
     if cfg.hashes_path:
         # newly-seen hashes; with include_json the keeper row rides along
@@ -320,9 +371,14 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                 ),
                 batch_format="pyarrow",
             )
-        os.makedirs(cfg.hashes_path, exist_ok=True)
-        hashes_ds.write_parquet(cfg.hashes_path)
-        written["hashes"] = _count_parquet(cfg.hashes_path)
+        if is_sqlite_url(cfg.hashes_path):
+            # reference K4 SQL hashes (Persistors.kt:391-453)
+            db, _, _ = parse_sqlite_url(cfg.hashes_path)
+            written["hashes"] = write_sqlite_hashes(hashes_ds, db)
+        else:
+            os.makedirs(cfg.hashes_path, exist_ok=True)
+            hashes_ds.write_parquet(cfg.hashes_path)
+            written["hashes"] = _count_parquet(cfg.hashes_path)
 
     # -- K5 reconciliation: hard-fail (reference only logs,
     #    BaseConsumer.kt:106-117) -------------------------------------

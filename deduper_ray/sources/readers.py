@@ -173,13 +173,30 @@ def read_table(
     order_by: str | None = None,
     row_id_column: str = ROW_ID,
 ) -> rd.Dataset:
-    """Read a parquet table, guaranteeing a ``row_id`` ordinal column.
+    """Read a parquet/CSV/SQL table, guaranteeing a ``row_id`` ordinal.
 
     If ``order_by`` names an existing unique column (e.g. ``doc_id``),
     that column IS the ordinal: plain ``read_parquet`` (cheapest path,
     full predicate/column pushdown) plus a vectorized copy/cast. Else
     falls back to the deterministic row-group reader.
     """
+    from deduper_ray.sources.sql_io import is_sqlite_url, read_sqlite
+
+    if is_sqlite_url(source):
+        # SQL source parity (reference S1 SourceJndi, Deduper.kt:160-186)
+        ds = read_sqlite(
+            source, columns=columns, row_id_column=row_id_column
+        )
+        if order_by and order_by != row_id_column:
+            import pyarrow.compute as pc
+
+            ds = ds.map_batches(
+                lambda t: t.drop_columns([row_id_column]).append_column(
+                    row_id_column, pc.cast(t[order_by], pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+        return ds
     files = _expand_paths(source)
     if files and files[0].endswith((".csv", ".txt", ".tsv")):
         # CSV parity mode (reference S2): all-string columns

@@ -1,0 +1,161 @@
+"""SQL (sqlite) source/sink parity — mirrors the reference's
+DeduperTest.dedupeSql (DeduperTest.kt:173-225) and hashPersistor
+(DeduperTest.kt:299-328) over the synthetic real-estate fixture
+(F2: 986 rows, dupe groups 341←{342,984}, 403←{404}, 600←{601})."""
+
+import json
+import os
+import sqlite3
+
+import pyarrow as pa
+import pytest
+
+from deduper_ray.config import DedupeConfig
+from deduper_ray.pipelines.exact_dedupe import dedupe
+from deduper_ray.sources.sql_io import (
+    parse_sqlite_url,
+    read_sqlite,
+    write_sqlite_table,
+)
+from tests.fixtures import RE_COLUMNS, RE_HASH_KEYS, make_real_estate
+
+
+@pytest.fixture()
+def re_db(tmp_path):
+    """Real-estate fixture loaded as a sqlite TABLE source."""
+    pq_path = os.path.join(tmp_path, "re.parquet")
+    tbl = make_real_estate(pq_path)
+    db = os.path.join(tmp_path, "source.db")
+    with sqlite3.connect(db) as conn:
+        cols = ", ".join(f"{c} TEXT" for c in RE_COLUMNS)
+        conn.execute(f"CREATE TABLE real_estate ({cols})")
+        rows = list(zip(*(tbl[c].to_pylist() for c in RE_COLUMNS)))
+        conn.executemany(
+            f"INSERT INTO real_estate VALUES "
+            f"({', '.join('?' for _ in RE_COLUMNS)})",
+            rows,
+        )
+    return db
+
+
+def test_read_sqlite_ordinals(re_db):
+    ds = read_sqlite(f"sqlite://{re_db}?table=real_estate")
+    df = ds.to_pandas()
+    assert len(df) == 986
+    assert list(df["row_id"]) == list(range(986))
+    assert list(df.columns)[:-1] == RE_COLUMNS
+
+    # query source: result order is the ordinal
+    ds_q = read_sqlite(
+        f"sqlite://{re_db}?query=SELECT street, city FROM real_estate "
+        f"ORDER BY rowid LIMIT 10"
+    )
+    dfq = ds_q.to_pandas()
+    assert len(dfq) == 10
+    assert list(dfq.columns) == ["street", "city", "row_id"]
+
+
+def test_dedupe_sql_source_and_sinks(re_db, tmp_path):
+    """dedupeSql parity: SQL source → SQL target/dupes/hashes tables,
+    re-read and assert counts + first rows (reference expected: 982
+    target rows, 3 dupe groups, first_found 341 / members [342, 984])."""
+    out_db = os.path.join(tmp_path, "out.db")
+    cfg = DedupeConfig(
+        source=f"sqlite://{re_db}?table=real_estate",
+        hash_keys=tuple(RE_HASH_KEYS),
+        target_path=f"sqlite://{out_db}?table=real_estate",
+        dupes_path=f"sqlite://{out_db}",
+        hashes_path=f"sqlite://{out_db}",
+    )
+    report = dedupe(cfg)
+    assert report.success
+    assert report.record_count == 986
+    assert report.dupe_count == 4
+    assert report.distinct_dupe_count == 3
+    assert report.hash_count == 982
+
+    with sqlite3.connect(out_db) as conn:
+        n_target = conn.execute(
+            "SELECT count(*) FROM real_estate"
+        ).fetchone()[0]
+        assert n_target == 982
+        target_cols = [
+            r[1] for r in conn.execute("PRAGMA table_info(real_estate)")
+        ]
+        # engine semantic: target carries the row_id ordinal alongside
+        # the input schema (exact_dedupe.py module docstring)
+        assert target_cols == RE_COLUMNS + ["row_id"]
+
+        dupes = conn.execute(
+            "SELECT hash, row_ids, first_found_row_number, dupe_values "
+            "FROM dupes ORDER BY first_found_row_number"
+        ).fetchall()
+        assert len(dupes) == 3
+        first = dupes[0]
+        assert json.loads(first[1]) == [342, 984]
+        assert first[2] == 341
+        assert set(json.loads(first[3])) == set(RE_COLUMNS)
+
+        hashes = conn.execute(
+            "SELECT count(*), count(json_row) FROM hashes"
+        ).fetchone()
+        assert hashes == (982, 0)  # include_json=False → NULL json_row
+
+
+def test_hash_persistor_include_json_and_seen_roundtrip(re_db, tmp_path):
+    """hashPersistor parity (include_json=True) + incremental mode: the
+    hashes table feeds the next run as its SQL seen-hash source."""
+    out_db = os.path.join(tmp_path, "out.db")
+    cfg = DedupeConfig(
+        source=f"sqlite://{re_db}?table=real_estate",
+        hash_keys=tuple(RE_HASH_KEYS),
+        hashes_path=f"sqlite://{out_db}",
+        include_json=True,
+    )
+    report = dedupe(cfg)
+    assert report.hash_count == 982
+    with sqlite3.connect(out_db) as conn:
+        n, n_json = conn.execute(
+            "SELECT count(*), count(json_row) FROM hashes"
+        ).fetchone()
+        assert (n, n_json) == (982, 982)
+        row = conn.execute(
+            "SELECT json_row FROM hashes LIMIT 1"
+        ).fetchone()[0]
+        assert set(json.loads(row)) == set(RE_COLUMNS)
+
+    # incremental: every row now 'seen' → zero new hashes
+    cfg2 = DedupeConfig(
+        source=f"sqlite://{re_db}?table=real_estate",
+        hash_keys=tuple(RE_HASH_KEYS),
+        seen_hashes=f"sqlite://{out_db}?table=hashes",
+    )
+    rep2 = dedupe(cfg2)
+    assert rep2.dupe_count == 986
+    assert rep2.hash_count == 982  # preload-inclusive count
+
+
+def test_write_sqlite_roundtrip_types(tmp_path):
+    db = os.path.join(tmp_path, "t.db")
+    tbl = pa.table(
+        {
+            "i": pa.array([1, 2], type=pa.int64()),
+            "f": pa.array([1.5, 2.5], type=pa.float64()),
+            "s": pa.array(["a", None], type=pa.string()),
+            "b": pa.array([True, False]),
+        }
+    )
+    n = write_sqlite_table(tbl, db, "t")
+    assert n == 2
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT * FROM t ORDER BY i").fetchall() == [
+            (1, 1.5, "a", 1), (2, 2.5, None, 0)
+        ]
+
+
+def test_parse_sqlite_url():
+    db, table, query = parse_sqlite_url("sqlite:///tmp/x.db?table=t")
+    assert (db, table, query) == ("/tmp/x.db", "t", None)
+    assert parse_sqlite_url("sqlite:///tmp/x.db") == ("/tmp/x.db", None, None)
+    with pytest.raises(ValueError):
+        parse_sqlite_url("sqlite:///tmp/x.db?table=t&query=SELECT 1")
