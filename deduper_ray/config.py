@@ -48,9 +48,21 @@ class DedupeConfig:
     dupes_path: str | None = None
     hashes_path: str | None = None
     include_json: bool = False
-    target_format: str = "parquet"  # "parquet" | "csv" (reference K1/K2)
+    # "parquet" | "csv" — applies to ALL directory sinks (target, dupes,
+    # hashes; reference has per-sink Csv/Sql persistor types,
+    # Persistors.kt:147-233); sqlite:// paths override per sink
+    target_format: str = "parquet"
     csv_delimiter: str = ","        # reference CsvConfigParser default ','
     csv_extension: str = "txt"      # reference default extension 'txt'
+    # fail_soft=True: a sink failure is logged and the job carries on
+    # with success=True — the REFERENCE's behavior
+    # (DeduperTest.kt:482-497 pins success despite a dead sink). The
+    # default False hard-fails, a deliberate, documented improvement.
+    fail_soft: bool = False
+    # job-level wall-clock budget (reference ExecutionServiceTimeout,
+    # config/Config.kt:52-55 / Deduper.kt:534-544): checked at stage
+    # boundaries; None → no limit
+    execution_timeout_sec: float | None = None
     # "broadcast": narrow groupby stats + broadcast drop-set anti-filter
     #   (default; assumes dupes ≪ rows, same bound the reference's
     #   in-heap dupeMap accepts)
@@ -106,6 +118,11 @@ class NearDupConfig:
     # config hash so switching invalidates signature checkpoints
     minhash_scheme: str = "oph"
     max_pairs_per_bucket: int = 2000
+    # count-then-salt skew guard: band buckets above this row count are
+    # split into chained sub-buckets before the LSH sort (bounded runs,
+    # connectivity preserved — stages/lsh.py salt_hot_buckets). None →
+    # disabled; the per-bucket pair cap then remains the only guard.
+    hot_bucket_threshold: int | None = 65536
     seed: int = 42
     batch_size: int = 256
     # actor-pool sizing; None → auto: (cpus//4, cpus-2). A pool pinned

@@ -116,6 +116,22 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
     (state/lineage.py) — same idea, disk-backed; the object store
     spills to disk under memory pressure either way.
     """
+    import time
+
+    t_start = time.time()
+
+    def _check_timeout(stage: str) -> None:
+        # reference ExecutionServiceTimeout (Deduper.kt:534-544):
+        # job-level wall budget, checked at stage boundaries
+        if (
+            cfg.execution_timeout_sec is not None
+            and time.time() - t_start > cfg.execution_timeout_sec
+        ):
+            raise TimeoutError(
+                f"dedupe exceeded execution_timeout_sec="
+                f"{cfg.execution_timeout_sec} before stage {stage!r}"
+            )
+
     if cfg.dupes_detail == "summary" and cfg.hashes_path and cfg.include_json:
         # same upfront guard as the target sink: summary mode has no
         # driver drop-set, so the include_json hashes sink would write
@@ -219,7 +235,27 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
         write_sqlite_table,
     )
 
+    import contextlib
+    import logging
+
+    logger = logging.getLogger(__name__)
+    failed_sinks: list[str] = []
+
+    @contextlib.contextmanager
+    def _sink_guard(name: str):
+        # fail_soft=True: reference behavior — a dead sink is logged
+        # and the job keeps success=True (DeduperTest.kt:482-497);
+        # default False hard-fails (deliberate improvement)
+        try:
+            yield
+        except Exception:
+            if not cfg.fail_soft:
+                raise
+            failed_sinks.append(name)
+            logger.exception("sink %r failed (fail_soft=True)", name)
+
     written = {}
+    _check_timeout("target sink")
     if cfg.target_path:
         if not is_sqlite_url(cfg.target_path):
             os.makedirs(cfg.target_path, exist_ok=True)
@@ -243,26 +279,31 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                 lambda t: t.drop_columns([HASH_COL, SEEN_FLAG]),
                 batch_format="pyarrow",
             )
-        if is_sqlite_url(cfg.target_path):
-            # reference K2 SQL target (Persistors.kt:240-314): auto-DDL
-            # + batched INSERT into the named table
-            db, table, _ = parse_sqlite_url(cfg.target_path)
-            written["target"] = write_sqlite_table(
-                target, db, table or "target_data"
-            )
-        elif cfg.target_format == "csv":
-            # reference K1 CSV target (Persistors.kt:147-179)
-            from deduper_ray.sources.csv_io import write_csv_sink
+        with _sink_guard("target"):
+            if is_sqlite_url(cfg.target_path):
+                # reference K2 SQL target (Persistors.kt:240-314):
+                # auto-DDL + batched INSERT into the named table
+                db, table, _ = parse_sqlite_url(cfg.target_path)
+                written["target"] = write_sqlite_table(
+                    target, db, table or "target_data"
+                )
+            elif cfg.target_format == "csv":
+                # reference K1 CSV target (Persistors.kt:147-179)
+                from deduper_ray.sources.csv_io import write_csv_sink
 
-            write_csv_sink(
-                target, cfg.target_path,
-                delimiter=cfg.csv_delimiter, extension=cfg.csv_extension,
-            )
-            written["target"] = _count_csv(cfg.target_path, cfg.csv_delimiter)
-        else:
-            target.write_parquet(cfg.target_path)
-            written["target"] = _count_parquet(cfg.target_path)
+                write_csv_sink(
+                    target, cfg.target_path,
+                    delimiter=cfg.csv_delimiter,
+                    extension=cfg.csv_extension,
+                )
+                written["target"] = _count_csv(
+                    cfg.target_path, cfg.csv_delimiter
+                )
+            else:
+                target.write_parquet(cfg.target_path)
+                written["target"] = _count_parquet(cfg.target_path)
 
+    _check_timeout("dupes sink")
     if cfg.dupes_path:
         if not is_sqlite_url(cfg.dupes_path):
             os.makedirs(cfg.dupes_path, exist_ok=True)
@@ -295,14 +336,27 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
             summary_ds = stats.map_batches(
                 _dupe_summary, batch_format="pyarrow"
             )
-            if is_sqlite_url(cfg.dupes_path):
-                db, table, _ = parse_sqlite_url(cfg.dupes_path)
-                written["dupes"] = write_sqlite_table(
-                    summary_ds, db, table or "dupes", primary_key="hash"
-                )
-            else:
-                summary_ds.write_parquet(cfg.dupes_path)
-                written["dupes"] = _count_parquet(cfg.dupes_path)
+            with _sink_guard("dupes"):
+                if is_sqlite_url(cfg.dupes_path):
+                    db, table, _ = parse_sqlite_url(cfg.dupes_path)
+                    written["dupes"] = write_sqlite_table(
+                        summary_ds, db, table or "dupes",
+                        primary_key="hash",
+                    )
+                elif cfg.target_format == "csv":
+                    from deduper_ray.sources.csv_io import write_csv_sink
+
+                    write_csv_sink(
+                        summary_ds, cfg.dupes_path,
+                        delimiter=cfg.csv_delimiter,
+                        extension=cfg.csv_extension,
+                    )
+                    written["dupes"] = _count_csv(
+                        cfg.dupes_path, cfg.csv_delimiter
+                    )
+                else:
+                    summary_ds.write_parquet(cfg.dupes_path)
+                    written["dupes"] = _count_parquet(cfg.dupes_path)
         else:
             dupes_sink = pa.table(
                 {
@@ -319,19 +373,37 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                     ),
                 }
             )
-            if is_sqlite_url(cfg.dupes_path):
-                # reference K3 SQL dupes (Persistors.kt:325-385): fixed
-                # schema (hash PK, row_ids json, first_found, values)
-                db, _, _ = parse_sqlite_url(cfg.dupes_path)
-                written["dupes"] = write_sqlite_dupes(dupes_sink, db)
-            else:
-                import pyarrow.parquet as pq
+            with _sink_guard("dupes"):
+                if is_sqlite_url(cfg.dupes_path):
+                    # reference K3 SQL dupes (Persistors.kt:325-385):
+                    # fixed schema (hash PK, row_ids json, first_found,
+                    # values)
+                    db, _, _ = parse_sqlite_url(cfg.dupes_path)
+                    written["dupes"] = write_sqlite_dupes(dupes_sink, db)
+                elif cfg.target_format == "csv":
+                    # reference CsvDupePersistor (Persistors.kt:183-210)
+                    import pyarrow.csv as pacsv
 
-                pq.write_table(
-                    dupes_sink, os.path.join(cfg.dupes_path, "dupes.parquet")
-                )
-                written["dupes"] = dupes_sink.num_rows
+                    pacsv.write_csv(
+                        dupes_sink,
+                        os.path.join(
+                            cfg.dupes_path, f"dupes.{cfg.csv_extension}"
+                        ),
+                        write_options=pacsv.WriteOptions(
+                            delimiter=cfg.csv_delimiter
+                        ),
+                    )
+                    written["dupes"] = dupes_sink.num_rows
+                else:
+                    import pyarrow.parquet as pq
 
+                    pq.write_table(
+                        dupes_sink,
+                        os.path.join(cfg.dupes_path, "dupes.parquet"),
+                    )
+                    written["dupes"] = dupes_sink.num_rows
+
+    _check_timeout("hashes sink")
     if cfg.hashes_path:
         # newly-seen hashes; with include_json the keeper row rides along
         # (reference hash sink: Persistors.kt:391-453). Reusable as the
@@ -371,17 +443,33 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                 ),
                 batch_format="pyarrow",
             )
-        if is_sqlite_url(cfg.hashes_path):
-            # reference K4 SQL hashes (Persistors.kt:391-453)
-            db, _, _ = parse_sqlite_url(cfg.hashes_path)
-            written["hashes"] = write_sqlite_hashes(hashes_ds, db)
-        else:
-            os.makedirs(cfg.hashes_path, exist_ok=True)
-            hashes_ds.write_parquet(cfg.hashes_path)
-            written["hashes"] = _count_parquet(cfg.hashes_path)
+        with _sink_guard("hashes"):
+            if is_sqlite_url(cfg.hashes_path):
+                # reference K4 SQL hashes (Persistors.kt:391-453)
+                db, _, _ = parse_sqlite_url(cfg.hashes_path)
+                written["hashes"] = write_sqlite_hashes(hashes_ds, db)
+            elif cfg.target_format == "csv":
+                # reference CsvHashPersistor (Persistors.kt:212-233)
+                from deduper_ray.sources.csv_io import write_csv_sink
 
+                os.makedirs(cfg.hashes_path, exist_ok=True)
+                write_csv_sink(
+                    hashes_ds, cfg.hashes_path,
+                    delimiter=cfg.csv_delimiter,
+                    extension=cfg.csv_extension,
+                )
+                written["hashes"] = _count_csv(
+                    cfg.hashes_path, cfg.csv_delimiter
+                )
+            else:
+                os.makedirs(cfg.hashes_path, exist_ok=True)
+                hashes_ds.write_parquet(cfg.hashes_path)
+                written["hashes"] = _count_parquet(cfg.hashes_path)
+
+    _check_timeout("reconciliation")
     # -- K5 reconciliation: hard-fail (reference only logs,
-    #    BaseConsumer.kt:106-117) -------------------------------------
+    #    BaseConsumer.kt:106-117; fail_soft downgrades to the
+    #    reference's log-only behavior) -------------------------------
     expected = {
         "target": record_count - dupe_count,
         "dupes": distinct_dupe_count,
@@ -389,9 +477,11 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
     }
     for sink, n in written.items():
         if n != expected[sink]:
-            raise RuntimeError(
-                f"sink '{sink}' wrote {n} rows, expected {expected[sink]}"
-            )
+            msg = f"sink '{sink}' wrote {n} rows, expected {expected[sink]}"
+            if cfg.fail_soft:
+                logger.warning(msg)
+            else:
+                raise RuntimeError(msg)
     return report
 
 

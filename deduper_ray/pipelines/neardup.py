@@ -157,6 +157,7 @@ def run_neardup(
             bands=cfg.bands,
             max_pairs_per_bucket=cfg.max_pairs_per_bucket,
             id_column=cfg.id_column,
+            hot_bucket_threshold=cfg.hot_bucket_threshold,
         )
         # adaptive resolution: below ~5M raw pair rows the driver
         # collect + packed np.unique beats a second distributed sort;

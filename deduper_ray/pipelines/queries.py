@@ -433,22 +433,29 @@ def window_sliding_events(sf_dir: str) -> pd.DataFrame:
 
 def asof_latest_order_per_event(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event matched to the customer's latest order at
-    or before the event time (gap-table 'as-of join'; broadcast right
-    side + per-batch merge_asof). Orders pre-collapsed to one row per
-    (custkey, orderdate) with max orderkey so ties are deterministic."""
-    import pyarrow.parquet as pq
-
+    or before the event time, via the BUCKETED two-large-sides path:
+    orders pre-collapsed DISTRIBUTED to one row per (custkey,
+    orderdate) with max orderkey (deterministic ties), then both sides
+    hash-co-partitioned on the key — no broadcast, the realistic shape
+    when both sides are event-scale. The broadcast fast path stays for
+    dimension-sized right sides (covered by pytest equivalence)."""
     from deduper_ray.stages.relational import asof_join
 
     orders = (
-        pq.read_table(
+        rd.read_parquet(
             _t(sf_dir, "orders"),
             columns=["o_custkey", "o_orderdate", "o_orderkey"],
         )
-        .to_pandas()
-        .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
-        .max()
-        .rename(columns={"o_custkey": "user_id"})
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["user_id", "o_orderdate", "o_orderkey"]
+            )
+            if t.num_columns == 3
+            else t,
+            batch_format="pyarrow",
+        )
     )
     events = rd.read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]

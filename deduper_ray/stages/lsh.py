@@ -178,15 +178,129 @@ def _scan_sorted_block(t: pa.Table, max_pairs: int) -> pa.Table:
     )
 
 
+def salt_hot_buckets(
+    exploded: rd.Dataset, *, hot_threshold: int
+) -> tuple[rd.Dataset, int]:
+    """Count-then-salt skew guard for pathological LSH bands
+    (boilerplate corpora: one band bucket holding 10^5-10^6 docs).
+
+    1. COUNT: block-local ``np.unique`` pre-aggregation (shrinks the
+       count shuffle to distinct keys per block) → ``groupby.sum`` →
+       buckets with > hot_threshold rows collect to the driver (tiny:
+       the hot set, not the buckets).
+    2. SALT: each row of a hot bucket re-keys to sub-bucket
+       ``salt = row_id % S`` (S = ceil(g / hot_threshold)) and ALSO
+       emits a chain copy into sub-bucket ``(salt+1) % S`` — sub-bucket
+       s therefore holds salt classes {s-1, s}, so pairs inside
+       sub-buckets keep the whole original bucket CONNECTED (union-find
+       transitivity recovers the full cluster) while every sorted run
+       is now ≤ ~2·hot_threshold rows instead of g.
+
+    Returns (salted dataset, number of hot buckets). Cold buckets pass
+    through untouched; with no hot buckets the input is returned as-is.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _local_counts(t: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            t["band_key"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "band_key": pa.array(keys, type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    counts = (
+        exploded.map_batches(_local_counts, batch_format="pyarrow")
+        .groupby("band_key")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    import pyarrow.compute as pc
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    hot_tbl = dataset_to_table(
+        counts.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], hot_threshold))
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        ),
+        pa.schema([("band_key", pa.int64()), ("n", pa.int64())]),
+    )
+    if hot_tbl.num_rows == 0:
+        return exploded, 0
+    hot_keys = hot_tbl["band_key"].to_numpy(zero_copy_only=False)
+    hot_sizes = hot_tbl["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(hot_keys)
+    hot_ref = ray.put(
+        {
+            "keys": hot_keys[order],
+            "salts": np.maximum(
+                2, -(-hot_sizes[order] // hot_threshold)
+            ).astype(np.int64),
+        }
+    )
+
+    def _salt(t: pa.Table) -> pa.Table:
+        from deduper_ray.stages.relational import _fetch_broadcast
+
+        hot = _fetch_broadcast(hot_ref)
+        keys = t["band_key"].to_numpy(zero_copy_only=False)
+        ids = t["row_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(hot["keys"], keys)
+        pos_c = np.minimum(pos, hot["keys"].size - 1)
+        is_hot = hot["keys"][pos_c] == keys
+        cold_k, cold_i = keys[~is_hot], ids[~is_hot]
+        hk, hi = keys[is_hot], ids[is_hot]
+        S = hot["salts"][pos_c[is_hot]]
+        salt = (hi % S).astype(np.uint64)
+        salt2 = ((hi + 1) % S).astype(np.uint64)
+
+        def _rekey(k, s):
+            mixed = (k.view(np.uint64) ^ (s + np.uint64(1)) * _BAND_MULT)
+            mixed ^= mixed >> np.uint64(29)
+            return mixed.view(np.int64)
+
+        return pa.table(
+            {
+                "band_key": pa.array(
+                    np.concatenate(
+                        [cold_k, _rekey(hk, salt), _rekey(hk, salt2)]
+                    ),
+                    type=pa.int64(),
+                ),
+                "row_id": pa.array(
+                    np.concatenate([cold_i, hi, hi]), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        exploded.map_batches(_salt, batch_format="pyarrow"),
+        hot_tbl.num_rows,
+    )
+
+
 def candidate_pairs(
     signatures: rd.Dataset,
     *,
     bands: int = 32,
     max_pairs_per_bucket: int = 2000,
     id_column: str = "row_id",
+    hot_bucket_threshold: int | None = None,
 ) -> rd.Dataset:
     """Signatures → candidate (id_a < id_b) pairs, possibly repeated
     across bands (dedup happens driver-side in the verify stage).
+
+    ``hot_bucket_threshold``: when set, runs the count-then-salt skew
+    guard (``salt_hot_buckets``) so no sorted run exceeds
+    ~2×threshold rows; connectivity (and therefore clustering) is
+    preserved via chained sub-buckets.
 
     Returned dataset rows: kind=0 pairs, kind=1 boundary fragments
     (band_key in id_a, row_id in id_b), kind=2 dropped-count sentinel.
@@ -196,6 +310,18 @@ def candidate_pairs(
         BandExploder(bands=bands, id_column=id_column),
         batch_format="pyarrow",
     )
+    if hot_bucket_threshold is not None:
+        exploded = exploded.materialize()
+        exploded, n_hot = salt_hot_buckets(
+            exploded, hot_threshold=hot_bucket_threshold
+        )
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "salted %d hot LSH buckets (> %d rows)",
+                n_hot, hot_bucket_threshold,
+            )
     sorted_ds = exploded.sort("band_key")
     return sorted_ds.map_batches(
         lambda t: _scan_sorted_block(t, max_pairs_per_bucket),

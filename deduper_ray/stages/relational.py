@@ -123,23 +123,28 @@ def top_k(
 
 def asof_join(
     left: rd.Dataset,
-    right: pd.DataFrame,
+    right: pd.DataFrame | rd.Dataset,
     *,
     by: str,
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """As-of join: for each left row, the latest right row with
     right_ts ≤ left_ts (direction='backward') sharing the ``by`` key.
 
-    Broadcast form: the right side (dimension-sized — e.g. an orders
-    table against an event stream) is sorted once and shipped via the
-    object store; each batch does one ``pd.merge_asof``. For two large
-    sides, bucket both by hash(by) and run the same merge per bucket
-    pair (ray_guide "As-of / range join") — not needed at current
-    sizes.
+    Dispatch: a pandas DataFrame right side (dimension-sized) takes
+    the BROADCAST path — sorted once, shipped via the object store,
+    one ``pd.merge_asof`` per batch, no shuffle. A Dataset right side
+    takes the BUCKETED path (``asof_join_partitioned``) — both sides
+    hash-co-partitioned on ``by``, correct for two event-scale sides.
     """
+    if isinstance(right, rd.Dataset):
+        return asof_join_partitioned(
+            left, right, by=by, left_ts=left_ts, right_ts=right_ts,
+            direction=direction, num_partitions=num_partitions,
+        )
     right = right.sort_values([right_ts, by]).reset_index(drop=True)
     right_ref = ray.put(right)
 
@@ -153,6 +158,121 @@ def asof_join(
         return out
 
     return left.map_batches(_asof, batch_format="pandas")
+
+
+def asof_join_partitioned(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Two-LARGE-sides as-of join: hash-bucket BOTH sides on the ``by``
+    key (every row of a key lands in exactly one bucket, so the as-of
+    semantics are preserved bucket-locally), co-group via one
+    ``groupby(bucket)`` shuffle, and run one vectorized
+    ``pd.merge_asof`` per bucket. Nothing is broadcast; the driver
+    holds nothing. Output columns match the broadcast path.
+    """
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(4, min(128, cpus * 2))
+    left_cols = [c for c in left.schema().names]
+    right_cols = [c for c in right.schema().names]
+    right_only = [c for c in right_cols if c not in left_cols or c == by]
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _tag(side: int, all_cols: list[str], own_cols: list[str],
+             schema_types: dict):
+        def _f(t: pa.Table) -> pa.Table:
+            key = t[by].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bucket = ((key * GOLD) >> np.uint64(33)) % np.uint64(
+                num_partitions
+            )
+            cols = {
+                "_bucket": pa.array(bucket.astype(np.int64)),
+                "_side": pa.array(
+                    np.full(t.num_rows, side, dtype=np.int8)
+                ),
+            }
+            for c in all_cols:
+                if c in own_cols:
+                    cols[c] = t[c]
+                else:
+                    cols[c] = pa.nulls(t.num_rows, type=schema_types[c])
+            return pa.table(cols)
+
+        return _f
+
+    types: dict = {}
+    for name, typ in zip(left.schema().names, left.schema().types):
+        types[name] = typ
+    for name, typ in zip(right.schema().names, right.schema().types):
+        types.setdefault(name, typ)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    tagged = left.map_batches(
+        _tag(0, all_cols, left_cols, types), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            _tag(1, all_cols, right_cols, types), batch_format="pyarrow"
+        )
+    )
+
+    out_cols = all_cols
+
+    # integer/bool columns pick up nulls from the OTHER side's rows in
+    # the co-grouped frame and arrive float64/object in pandas; cast
+    # back after the side split (side rows are null-free in own cols)
+    int_like = {
+        c: ("int64" if pa.types.is_integer(types[c]) else "bool")
+        for c in all_cols
+        if pa.types.is_integer(types[c]) or pa.types.is_boolean(types[c])
+    }
+
+    def _restore(frame: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+        casts = {
+            c: int_like[c]
+            for c in cols
+            if c in int_like and str(frame[c].dtype) != int_like[c]
+        }
+        return frame.astype(casts) if casts else frame
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = _restore(df[df["_side"] == 0][left_cols], left_cols).sort_values(
+            left_ts
+        )
+        r = _restore(
+            df[df["_side"] == 1][right_cols], right_cols
+        ).sort_values([right_ts, by])
+        if l[left_ts].dtype != r[right_ts].dtype:
+            # datetime columns of different resolution (e.g. event
+            # timestamp[us] vs order date[s]) → lossless common ns
+            if (l[left_ts].dtype.kind == "M"
+                    and r[right_ts].dtype.kind == "M"):
+                l = l.assign(
+                    **{left_ts: l[left_ts].astype("datetime64[ns]")}
+                )
+                r = r.assign(
+                    **{right_ts: r[right_ts].astype("datetime64[ns]")}
+                )
+            else:
+                r = r.assign(
+                    **{right_ts: r[right_ts].astype(l[left_ts].dtype)}
+                )
+        merged = pd.merge_asof(
+            l, r, left_on=left_ts, right_on=right_ts, by=by,
+            direction=direction,
+        )
+        return merged.reindex(columns=out_cols)
+
+    return tagged.groupby("_bucket").map_groups(
+        _merge, batch_format="pandas"
+    )
 
 
 def grouped_top_k(

@@ -108,14 +108,42 @@ def cluster_edges(edges: rd.Dataset) -> dict[int, int]:
 
 
 def label_propagation(
-    edges: rd.Dataset, *, max_rounds: int = 10
+    edges: rd.Dataset,
+    *,
+    max_rounds: int = 16,
+    num_partitions: int | None = None,
+    on_nonconverged: str = "raise",
 ) -> rd.Dataset:
-    """Distributed connected components by iterative min-label
-    propagation — no driver/actor state, two native aggregates per
-    round. Returns a Dataset (row_id, cluster_id)."""
-    from ray.data.aggregate import Min
+    """Distributed connected components by min-label propagation WITH
+    pointer doubling — no driver-resident label map, no per-row Python.
+    Returns a Dataset (row_id, cluster_id).
 
-    # node → current label (init: own id); edges kept symmetric
+    Per round, three fully distributed steps:
+      1. edge push: labels ⋈ edges on the source endpoint (hash-
+         partitioned join) — each node offers its label to neighbors;
+      2. pointer doubling: labels ⋈ labels on label==node — each node
+         also adopts its LABEL's label (label-of-label), so convergence
+         is O(log diameter) instead of O(diameter);
+      3. ``groupby(node).min(label)`` merge.
+
+    Convergence is detected WITHOUT materializing label maps on the
+    driver: labels only ever decrease, so a per-round scalar
+    ``sum(label)`` (one tiny aggregate) is stationary iff no label
+    changed. Chains out of the LSH bucket cap (chain+stride emission,
+    stages/lsh.py) are the adversarial diameter case this handles:
+    a 10^5-long chain converges in ~17 doubling rounds, where one-hop
+    propagation would silently return split clusters after
+    ``max_rounds``. If the graph still hasn't converged,
+    ``on_nonconverged`` = "raise" (default) or "warn"."""
+    from ray.data.aggregate import Min, Sum
+
+    from deduper_ray.stages.relational import partitioned_join
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(4, min(64, cpus * 2))
+
+    # node → current label (init: min(self, neighbors)); edges symmetric
     def _sym(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
         b = t["id_b"].to_numpy(zero_copy_only=False)
@@ -144,38 +172,116 @@ def label_propagation(
         batch_format="pyarrow",
     ).materialize()
 
-    for _ in range(max_rounds):
-        # push labels across edges: node's label reaches its neighbors
-        lab_map = {
-            r["node"]: r["label"] for r in labels.take_all()
-        }  # small: clustered nodes only
-        ref = ray.put(lab_map)
-
-        def _push(t: pa.Table) -> pa.Table:
-            m = ray.get(ref)
-            src = t["src"].to_numpy(zero_copy_only=False)
-            dst = t["dst"].to_numpy(zero_copy_only=False)
-            lab = np.fromiter(
-                (m.get(int(s), int(s)) for s in src), dtype=np.int64,
-                count=src.size,
+    if labels.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "row_id": pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                }
             )
+        )
+
+    def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+        # Ray's hash aggregate emits one block per partition INCLUDING
+        # empty zero-column blocks when partitions outnumber distinct
+        # keys (exactly the near-converged state here), and map_batches
+        # passes empty blocks through without invoking the UDF — so the
+        # downstream hash join sees a schema-less block and dies.
+        # Metadata-only filter: no block data touches the driver.
+        ds = ds.materialize()
+        refs = [
+            ref
+            for bundle in ds.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows
+        ]
+        if not refs:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], type=pa.int64()),
+                        "label": pa.array([], type=pa.int64()),
+                    }
+                )
+            )
+        return rd.from_arrow_refs(refs)
+
+    def _project(*mapping: tuple[str, str]):
+        # (src_col, out_col) projection, empty-schema-safe
+        def _f(t: pa.Table) -> pa.Table:
+            if all(src in t.column_names for src, _ in mapping):
+                return pa.table({out: t[src] for src, out in mapping})
             return pa.table(
-                {"node": pa.array(dst, type=pa.int64()),
-                 "label": pa.array(lab, type=pa.int64())}
+                {out: pa.array([], type=pa.int64()) for _, out in mapping}
             )
 
-        pushed = sym.map_batches(_push, batch_format="pyarrow")
-        new_labels = (
-            pushed.union(labels)
+        return _f
+
+    def _as(names: list[str]):
+        # schema-stable rename: degenerate EMPTY blocks can arrive with
+        # no columns at all — emit the correct empty schema so the
+        # hash-join operators see one consistent schema per side
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_columns == len(names):
+                return t.rename_columns(names)
+            return pa.table(
+                {n: pa.array([], type=pa.int64()) for n in names}
+            )
+
+        return _f
+
+    def _sum(ds: rd.Dataset) -> int:
+        out = ds.aggregate(Sum("label", alias_name="s"))
+        return int(out["s"] or 0)
+
+    labels = _drop_empty_blocks(labels)
+    prev_sum = _sum(labels)
+    converged = False
+    for _ in range(max_rounds):
+        # 1. push across edges: (src,dst) ⋈ (node=src → label)
+        as_src = labels.map_batches(_as(["src", "label"]),
+                                    batch_format="pyarrow")
+        pushed = partitioned_join(
+            sym, as_src, "src", num_partitions=num_partitions
+        ).map_batches(
+            _project(("dst", "node"), ("label", "label")),
+            batch_format="pyarrow",
+        )
+        # 2. pointer doubling: (node, key=label) ⋈ (key=node → label)
+        by_label = labels.map_batches(_as(["node", "key"]),
+                                      batch_format="pyarrow")
+        as_key = labels.map_batches(_as(["key", "label"]),
+                                    batch_format="pyarrow")
+        shortcut = partitioned_join(
+            by_label, as_key, "key", num_partitions=num_partitions
+        ).map_batches(
+            _project(("node", "node"), ("label", "label")),
+            batch_format="pyarrow",
+        )
+        # 3. min-merge
+        labels = _drop_empty_blocks(
+            pushed.union(shortcut).union(labels)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
-            .materialize()
+            .map_batches(_as(["node", "label"]), batch_format="pyarrow")
         )
-        old = {r["node"]: r["label"] for r in labels.take_all()}
-        new = {r["node"]: r["label"] for r in new_labels.take_all()}
-        labels = new_labels
-        if old == new:
+        new_sum = _sum(labels)
+        if new_sum == prev_sum:  # labels are monotone non-increasing
+            converged = True
             break
+        prev_sum = new_sum
+    if not converged:
+        msg = (
+            f"label_propagation did not converge in {max_rounds} rounds "
+            "— clusters may be split; raise max_rounds"
+        )
+        if on_nonconverged == "warn":
+            import logging
+
+            logging.getLogger(__name__).warning(msg)
+        else:
+            raise RuntimeError(msg)
     return labels.map_batches(
         lambda t: pa.table(
             {"row_id": t["node"], "cluster_id": t["label"]}

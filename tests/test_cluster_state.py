@@ -77,3 +77,23 @@ def test_containment_check():
     contents[3] = "completely different"
     out = containment_check(contents, [(1, 3)])
     assert out[(1, 3)] is False
+
+
+def test_label_propagation_long_chain_pointer_doubling():
+    """A 150-node path graph has diameter 149 — one-hop propagation
+    would need ~149 rounds and previously fell through max_rounds=10
+    returning SPLIT clusters silently. Pointer doubling converges in
+    O(log diameter) (~8 doubling rounds) and non-convergence now
+    raises instead of returning wrong clusters."""
+    n = 150
+    ds = rd.from_items([{"id_a": i, "id_b": i + 1} for i in range(n - 1)])
+    lp = label_propagation(ds, max_rounds=12, num_partitions=4).to_pandas()
+    assert len(lp) == n
+    assert set(lp["cluster_id"]) == {0}
+
+    # insufficient rounds → loud failure, not silent splits
+    import pytest as _pytest
+
+    ds2 = rd.from_items([{"id_a": i, "id_b": i + 1} for i in range(n - 1)])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation(ds2, max_rounds=2, num_partitions=4)
