@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q.simhash_docs,
         "ngram_jaccard_pairs_docs": q.ngram_jaccard_pairs_docs,
         "ann_topk_embeddings": q.ann_topk_embeddings,
+        "ivf_topk_embeddings": q.ivf_topk_embeddings,
         "embedding_neardup_pairs": q.embedding_neardup_pairs,
     }
 
@@ -313,6 +314,33 @@ def oracle_sql() -> dict[str, str]:
         # both sides: cosine over float64 lists, rank by (-score,
         # neighbor_id), score rounded to 6 decimals after ranking
         "ann_topk_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           q.qe, CAST(e.embedding AS DOUBLE[])
+                       ) AS s
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, s,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY s DESC, neighbor_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(s, 6) AS score
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # IVF engine path vs the SAME exact ranking: n_probe==n_cells
+        # makes IVF exact by construction, so the gate verifies the
+        # index/assign/probe/merge machinery bit-for-bit; partial-probe
+        # recall is pinned by pytest
+        "ivf_topk_embeddings": """
             WITH q AS (
                 SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
                 FROM embeddings ORDER BY vec_id LIMIT 5

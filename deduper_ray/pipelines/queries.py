@@ -643,6 +643,32 @@ def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def ivf_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    """IVF (spherical-kmeans cells + probe lists) approximate cosine
+    top-5 for the first 5 vectors — the ANN SCALE path next to the
+    brute-force baseline. ORACLE-CHECKED against the exact-SQL ranking
+    with n_probe == n_cells: probing every cell makes IVF exact BY
+    CONSTRUCTION, so the gate verifies the full machinery (sampled
+    kmeans index, cell assignment, probe routing, partial-top-k merge)
+    bit-for-bit. Partial-probe recall behavior is pinned by pytest
+    (test_ivf_topk_matches_bruteforce_with_full_probes) — this
+    testdata's clusters are too weakly separated (max cos ~0.5) for a
+    deterministic partial-probe == exact guarantee."""
+    import pyarrow.parquet as pq
+
+    from deduper_ray.stages.ann import ivf_topk
+
+    tbl = pq.read_table(_t(sf_dir, "embeddings"))
+    q = np.stack(tbl["embedding"].to_pylist()[:5]).astype(np.float64)
+    qids = tbl["vec_id"].to_numpy(zero_copy_only=False)[:5]
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    out = ivf_topk(
+        ds, qids, q, k=5, n_cells=16, n_probe=16, sample_mod=2,
+    ).to_pandas()
+    out["score"] = out["score"].round(6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     """Hyperplane-LSH + exact-cosine related-vector pairs over
     embeddings, ORACLE-CHECKED against DuckDB all-pairs cosine:

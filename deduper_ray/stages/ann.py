@@ -107,6 +107,14 @@ def brute_force_topk(
     from deduper_ray.functions.util import dataset_to_table
 
     cand = dataset_to_table(partial)
+    return _merge_topk(cand, query_ids, k, exclude_self)
+
+
+def _merge_topk(
+    cand: pa.Table, query_ids: np.ndarray, k: int, exclude_self: bool
+) -> pa.Table:
+    """Merge per-block partial top-k rows into the final ranked table:
+    rank 1-based by (-score, neighbor_id) — deterministic under ties."""
     qcol = cand["query_id"].to_numpy(zero_copy_only=False)
     ncol = cand["neighbor_id"].to_numpy(zero_copy_only=False)
     scol = cand["score"].to_numpy(zero_copy_only=False)
@@ -131,6 +139,141 @@ def brute_force_topk(
             "score": pa.array(out["score"], type=pa.float64()),
         }
     )
+
+
+def spherical_kmeans(
+    sample: np.ndarray, k: int, *, iters: int = 12, seed: int = 42
+) -> np.ndarray:
+    """Lloyd iterations on L2-normalized vectors (cosine geometry).
+    Deterministic under the seed; k × d output centroids, normalized.
+    Pure numpy — meant for a bounded SAMPLE, not the corpus."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(sample)
+    k = min(k, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class _IvfTopKPartial:
+    """Actor-pool stage: per batch, assign each vector to its nearest
+    centroid and score it ONLY against queries probing that cell —
+    then emit the local top-k per query. The centroid matrix and the
+    per-query probe lists ride the object store once."""
+
+    def __init__(self, state_ref: ray.ObjectRef, k: int,
+                 id_column: str, vec_column: str):
+        s = ray.get(state_ref)
+        self.qids: np.ndarray = s["qids"]
+        self.qmat: np.ndarray = s["qmat"]          # (Q, d) normalized
+        self.centroids: np.ndarray = s["centroids"]  # (C, d) normalized
+        self.probes: np.ndarray = s["probes"]      # (Q, n_probe) cell ids
+        self.k = k
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        mat = _normalize(_to_matrix(batch[self.vec_column]))
+        cells = np.argmax(mat @ self.centroids.T, axis=1)  # (B,)
+        out = {"query_id": [], "neighbor_id": [], "score": []}
+        for qi in range(len(self.qids)):
+            mask = np.isin(cells, self.probes[qi])
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = mat[mask] @ self.qmat[qi]
+            k = min(self.k + 1, sims.size)
+            part = np.argpartition(-sims, k - 1)[:k]
+            out["query_id"].extend([int(self.qids[qi])] * k)
+            out["neighbor_id"].extend(sub_ids[part].tolist())
+            out["score"].extend(sims[part].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+                "score": pa.array(out["score"], type=pa.float64()),
+            }
+        )
+
+
+def ivf_topk(
+    embeddings: rd.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    sample_mod: int = 8,
+    seed: int = 42,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """IVF approximate cosine top-k — the SCALE path next to
+    ``brute_force_topk``: per-batch work drops from O(B·Q·d) to
+    O(B·C·d + probed·d) because each vector scores only against the
+    queries probing its cell. Recall is governed by n_probe/n_cells
+    (probing all cells degenerates to exact brute force).
+
+    Index build: a DETERMINISTIC sample (row id mod ``sample_mod``)
+    collects to the driver — bounded, corpus-independent — and
+    spherical k-means picks the cells; centroids broadcast once. At
+    10^9+ rows, persist the centroids + per-cell partition layout and
+    reuse across queries (the classic IVF file layout)."""
+    import pyarrow.compute as pc
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    def _sample(t: pa.Table) -> pa.Table:
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % sample_mod == 0)).select(
+            [vec_column]
+        )
+
+    sample_tbl = dataset_to_table(
+        embeddings.map_batches(_sample, batch_format="pyarrow")
+    )
+    sample = _to_matrix(sample_tbl[vec_column])
+    centroids = spherical_kmeans(sample, n_cells, seed=seed)
+    qmat = _normalize(query_matrix)
+    n_probe = min(n_probe, len(centroids))
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    state_ref = ray.put(
+        {
+            "qids": np.asarray(query_ids),
+            "qmat": qmat,
+            "centroids": centroids,
+            "probes": probes,
+        }
+    )
+    partial = embeddings.map_batches(
+        _IvfTopKPartial,
+        fn_constructor_kwargs={
+            "state_ref": state_ref, "k": k,
+            "id_column": id_column, "vec_column": vec_column,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    cand = dataset_to_table(
+        partial,
+        pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("neighbor_id", pa.int64()),
+                ("score", pa.float64()),
+            ]
+        ),
+    )
+    return _merge_topk(cand, query_ids, k, exclude_self)
 
 
 class HyperplaneSigner:

@@ -125,14 +125,30 @@ def _scan_sorted_block(t: pa.Table, max_pairs: int) -> pa.Table:
         change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [n]))
-        for i, (s, e) in enumerate(zip(starts, ends)):
-            if i == 0 or i == len(starts) - 1:
-                # block-edge run: may continue in a neighboring block
-                frag_keys.append(keys[s:e])
-                frag_ids.append(ids[s:e])
-                continue
-            if e - s < 2:
-                continue
+        n_runs = starts.size
+        # block-edge runs: may continue in a neighboring block
+        frag_keys.append(keys[starts[0]:ends[0]])
+        frag_ids.append(ids[starts[0]:ends[0]])
+        if n_runs > 1:
+            frag_keys.append(keys[starts[-1]:ends[-1]])
+            frag_ids.append(ids[starts[-1]:ends[-1]])
+        # loop ONLY over multi-row interior runs: LSH buckets are
+        # overwhelmingly singletons (~19M of 20M runs at 10^6 docs) and
+        # a Python iteration per singleton costs seconds per block
+        lens = ends - starts
+        interior = (np.arange(n_runs) > 0) & (np.arange(n_runs) < n_runs - 1)
+        # len==2 runs (the overwhelming multi-run case: one clone pair
+        # per band bucket) are fully vectorized — one gather + min/max
+        two = np.nonzero(interior & (lens == 2))[0]
+        if two.size:
+            x = ids[starts[two]]
+            y = ids[starts[two] + 1]
+            keep = x != y
+            out_a.append(np.minimum(x[keep], y[keep]))
+            out_b.append(np.maximum(x[keep], y[keep]))
+        # len>=3 runs: python loop, but these are rare
+        for i in np.nonzero(interior & (lens >= 3))[0]:
+            s, e = starts[i], ends[i]
             uids = np.unique(ids[s:e])
             if uids.size < 2:
                 continue

@@ -216,3 +216,44 @@ def test_media_real_decoder_raises():
     tbl = make_fake_media_table(2)
     with pytest.raises(NotImplementedError):
         ImageFeatureExtractor(decoder="real")(tbl)
+
+
+def test_ivf_topk_matches_bruteforce_with_full_probes():
+    """Probing every cell must reproduce exact brute-force ranking;
+    partial probes on clustered data keep high recall."""
+    import numpy as np
+
+    from deduper_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(9)
+    centers = rng.standard_normal((8, 24)) * 3
+    vecs = np.concatenate(
+        [c + rng.standard_normal((40, 24)) for c in centers]
+    ).astype(np.float32)
+    n = len(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), type=pa.float32()), 24
+            ),
+        }
+    )
+    qids = np.array([0, 41, 100])
+    qmat = vecs[qids].astype(np.float64)
+    ds = rd.from_arrow(tbl)
+    exact = brute_force_topk(ds, qids, qmat, k=10).to_pandas()
+    full = ivf_topk(
+        ds, qids, qmat, k=10, n_cells=16, n_probe=16, sample_mod=1
+    ).to_pandas()
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(exact, full)
+
+    part = ivf_topk(
+        ds, qids, qmat, k=10, n_cells=16, n_probe=4, sample_mod=1
+    ).to_pandas()
+    # recall@10 with 4/16 probes on well-separated clusters
+    got = set(zip(part["query_id"], part["neighbor_id"]))
+    want = set(zip(exact["query_id"], exact["neighbor_id"]))
+    assert len(got & want) / len(want) >= 0.9
