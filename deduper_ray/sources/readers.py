@@ -95,75 +95,46 @@ def read_parquet_with_row_ids(
         return rd.from_arrow(schema.empty_table())
 
     # Parallelism: one task per row group is the natural unit (and the
-    # only unit at 100 TB, where inputs have thousands of row groups).
-    # Small inputs with few/monolithic row groups would serialize the
-    # whole pipeline behind 1 block — Ray's output buffering coalesces
-    # even generator yields up to target_max_block_size — so when the
-    # plan is smaller than ``min_tasks`` we split row groups into row
-    # SLICES: each slice task re-decodes its row group and keeps its
-    # slice. The duplicate decode is bounded to exactly the small-input
-    # case where it is cheap.
+    # only unit at 100 TB, where inputs have thousands of row groups) —
+    # each row group is decoded EXACTLY ONCE. Small inputs with
+    # few/monolithic row groups would serialize the whole pipeline
+    # behind 1 block, so when the plan is smaller than ``min_tasks`` we
+    # re-chunk the decoded blocks with a streaming repartition
+    # (StreamingRepartition is a map-style block split — no all-to-all,
+    # no re-decode) to restore downstream parallelism.
     min_tasks = 64
-    slices: list[dict] = []
-    if len(plan) >= min_tasks:
-        for p in plan:
-            slices.append(
-                {"path": p.path, "row_group": p.row_group,
-                 "offset": p.offset, "start": 0, "len": p.num_rows}
-            )
-    else:
-        per_rg = max(1, min_tasks // len(plan))
-        for p in plan:
-            chunk = max(1024, -(-p.num_rows // per_rg))
-            for start in range(0, p.num_rows, chunk):
-                slices.append(
-                    {"path": p.path, "row_group": p.row_group,
-                     "offset": p.offset + start, "start": start,
-                     "len": min(chunk, p.num_rows - start)}
-                )
+    tasks = [
+        {"path": p.path, "row_group": p.row_group, "offset": p.offset}
+        for p in plan
+    ]
     cols = list(columns) if columns else None
 
     def _read(batch: pa.Table) -> pa.Table:
         tables = []
         for task in batch.to_pylist():
             pf = pq.ParquetFile(task["path"])
-            rg_rows = pf.metadata.row_group(task["row_group"]).num_rows
-            if task["start"] == 0 and task["len"] >= rg_rows:
-                part = pf.read_row_group(task["row_group"], columns=cols)
-            else:
-                # slice task: incremental decode with early stop — only
-                # rows up to the slice end are decoded (a plain
-                # read_row_group + slice would decode the whole group
-                # in every slice task)
-                need_end = task["start"] + task["len"]
-                got, seen = [], 0
-                for rb in pf.iter_batches(
-                    batch_size=8192, row_groups=[task["row_group"]],
-                    columns=cols,
-                ):
-                    got.append(rb)
-                    seen += rb.num_rows
-                    if seen >= need_end:
-                        break
-                part = pa.Table.from_batches(got).slice(
-                    task["start"], task["len"]
-                )
+            part = pf.read_row_group(task["row_group"], columns=cols)
             rid = np.arange(
                 task["offset"], task["offset"] + part.num_rows, dtype=np.int64
             )
             tables.append(part.append_column(row_id_column, pa.array(rid)))
         return pa.concat_tables(tables)
 
-    plan_ds = rd.from_items(slices, override_num_blocks=len(slices))
-    # batch_size=1 → exactly one read task per plan slice. The off-unit
+    plan_ds = rd.from_items(tasks, override_num_blocks=len(tasks))
+    # batch_size=1 → exactly one read task per row group. The off-unit
     # num_cpus blocks operator FUSION with downstream map_batches:
     # fused, a downstream row-based batch_size would bundle the 1-row
     # PLAN blocks into a single task and serialize the whole pipeline
     # behind one reader. 0.99 (not 1.01) so reader tasks can still
     # squeeze in next to a full actor pool on a small CPU budget.
-    return plan_ds.map_batches(
+    ds = plan_ds.map_batches(
         _read, batch_format="pyarrow", batch_size=1, num_cpus=0.99
     )
+    if len(plan) < min_tasks:
+        total = sum(p.num_rows for p in plan)
+        chunk = max(1024, -(-total // min_tasks))
+        ds = ds.repartition(target_num_rows_per_block=chunk)
+    return ds
 
 
 def read_table(
