@@ -209,18 +209,31 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
-        ds.map_batches(_derive, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_c", alias_name="s_qty"),
-            Sum("price_c", alias_name="s_price"),
-            Sum("disc_price_u", alias_name="s_disc_price"),
-            Sum("disc_c", alias_name="s_disc"),
-            Count(alias_name="count_order"),
+    def _partial(t: pa.Table) -> pa.Table:
+        # combiner: collapse each batch to ≤|groups| partial-sum rows
+        # BEFORE any exchange — the driver-side final combine is then
+        # bounded by #blocks × 6 rows, never by input volume
+        return pa.TableGroupBy(
+            _derive(t), ["l_returnflag", "l_linestatus"]
+        ).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"),
+             ("disc_price_u", "sum"), ("disc_c", "sum"),
+             ("qty_c", "count")]
         )
+
+    partials = dataset_to_table(
+        ds.map_batches(_partial, batch_format="pyarrow")
     )
-    df = dataset_to_table(out).to_pandas()
+    df = (
+        partials.to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .sum()
+        .rename(columns={
+            "qty_c_sum": "s_qty", "price_c_sum": "s_price",
+            "disc_price_u_sum": "s_disc_price", "disc_c_sum": "s_disc",
+            "qty_c_count": "count_order",
+        })
+    )
     df["sum_qty"] = df["s_qty"] / 100.0
     df["sum_base_price"] = df["s_price"] / 100.0
     df["sum_disc_price"] = df["s_disc_price"] / 10000.0
