@@ -64,6 +64,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_embeddings": q.ann_topk_embeddings,
         "ivf_topk_embeddings": q.ivf_topk_embeddings,
         "embedding_neardup_pairs": q.embedding_neardup_pairs,
+        # training-data curation (round 2): PII scrub, heavy hitters,
+        # stratified sampling (distributed row_number), exact grouped
+        # quantiles (value-histogram combiner)
+        "pii_redact_docs": q.pii_redact_docs,
+        "top_tokens_docs": q.top_tokens_docs,
+        "stratified_sample_docs": q.stratified_sample_docs,
+        "quantiles_orders_priority": q.quantiles_orders_priority,
     }
 
 
@@ -434,5 +441,48 @@ def oracle_sql() -> dict[str, str]:
                    max(tsec) AS session_end, count(*) AS n_events
             FROM s GROUP BY user_id, sess
             ORDER BY user_id, session_start
+        """,
+        # training-data curation ops (round 2). PII: same RE2 patterns
+        # as functions/text.py PII_PATTERNS, same replacement order.
+        "pii_redact_docs": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' mail u' || doc_id || '@ex-a.io tel +1 555 010 '
+                            || (doc_id % 10) || (doc_id % 10)
+                            || ' ip 10.0.' || (doc_id % 256) || '.7' AS text
+                FROM documents
+            )
+            SELECT doc_id, text,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '[IP]', 'g'),
+                       '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g')
+                       AS clean_text
+            FROM aug ORDER BY doc_id
+        """,
+        "top_tokens_docs": """
+            SELECT token, count(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ) WHERE token <> ''
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 25
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY (row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                     - 1) % 7 = 0
+            ORDER BY doc_id
+        """,
+        "quantiles_orders_priority": """
+            SELECT o_orderpriority, count(*) AS n,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY
+                       CAST(round(o_totalprice*100) AS BIGINT)) AS q50,
+                   percentile_disc(0.95) WITHIN GROUP (ORDER BY
+                       CAST(round(o_totalprice*100) AS BIGINT)) AS q95,
+                   percentile_disc(0.99) WITHIN GROUP (ORDER BY
+                       CAST(round(o_totalprice*100) AS BIGINT)) AS q99
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
     }

@@ -121,6 +121,29 @@ def add_fingerprint(
     return batch.append_column(out, pa.array(vals, type=pa.string()))
 
 
+# PII patterns — RE2 syntax (pyarrow.compute and DuckDB both run RE2,
+# so `regexp_replace(..., 'g')` in the oracle is bit-identical).
+# Replacement order matters (IP before phone: a dotted quad must not be
+# half-eaten by the phone pattern) and is part of the operator contract.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "[PHONE]"),
+]
+
+
+def redact_pii(
+    batch: pa.Table, *, text_column: str = "text", out: str = "clean_text"
+) -> pa.Table:
+    """PII redaction: emails → [EMAIL], IPv4 → [IP], phone-shaped digit
+    runs → [PHONE]. One vectorized RE2 global-replace per pattern —
+    no per-row Python."""
+    col = batch[text_column]
+    for pattern, repl in PII_PATTERNS:
+        col = pc.replace_substring_regex(col, pattern, repl)
+    return batch.append_column(out, col)
+
+
 def add_simhash_md5(
     batch: pa.Table,
     *,

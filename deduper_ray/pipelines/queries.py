@@ -709,3 +709,100 @@ def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["cosine"] = out["cosine"].round(6)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------- training-data curation ops
+
+def pii_redact_docs(sf_dir: str) -> pd.DataFrame:
+    """PII redaction (functions/text.py redact_pii): the testdata text
+    is synthetic word salad with no PII, so the query APPENDS a
+    deterministic PII suffix (email/phone/IP derived from doc_id) on
+    BOTH sides before redacting — the oracle reproduces the suffix in
+    SQL and the redaction via RE2 ``regexp_replace(...,'g')``."""
+    from deduper_ray.functions.text import redact_pii
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _aug(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        suffix = pa.array(
+            [
+                f" mail u{i}@ex-a.io tel +1 555 010 {i % 10}{i % 10}"
+                f" ip 10.0.{i % 256}.7"
+                for i in ids
+            ],
+            type=pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pc.binary_join_element_wise(t["text"], suffix, ""),
+            }
+        )
+
+    out = (
+        ds.map_batches(_aug, batch_format="pyarrow")
+        .map_batches(lambda t: redact_pii(t), batch_format="pyarrow")
+    )
+    return (
+        dataset_to_table(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def top_tokens_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus heavy hitters: top-25 whitespace tokens by frequency
+    (stages/relational.py token_heavy_hitters — per-batch vocabulary
+    combiner, partial-top-k merge)."""
+    from deduper_ray.stages.relational import token_heavy_hitters
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return token_heavy_hitters(ds, text_column="text", k=25).to_pandas()
+
+
+def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-language stratified sample: every 7th doc per
+    lang in doc_id order (stages/relational.py stratified_sample, built
+    on the distributed grouped_row_number)."""
+    from deduper_ray.stages.relational import stratified_sample
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"))
+    out = stratified_sample(ds, key="lang", order_col="doc_id", every_k=7)
+    return (
+        dataset_to_table(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[
+            ["doc_id", "text", "lang", "source", "n_chars"]
+        ]
+    )
+
+
+def quantiles_orders_priority(sf_dir: str) -> pd.DataFrame:
+    """Exact per-priority price quantiles (percentile_disc semantics)
+    via the distributed value-histogram combiner
+    (stages/relational.py grouped_quantiles)."""
+    from deduper_ray.stages.relational import grouped_quantiles
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def _c(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "price_c": pa.array(
+                    _cents(t["o_totalprice"]), type=pa.int64()
+                ),
+            }
+        )
+
+    out = grouped_quantiles(
+        ds.map_batches(_c, batch_format="pyarrow"),
+        key="o_orderpriority", value_col="price_c",
+        quantiles=[0.5, 0.95, 0.99],
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

@@ -326,3 +326,198 @@ def distinct(ds: rd.Dataset, columns: list[str]) -> rd.Dataset:
     pre = ds.map_batches(_local, batch_format="pyarrow")
     agg = pre.groupby(columns).aggregate(Count(alias_name="_n"))
     return agg.map_batches(lambda t: t.select(columns), batch_format="pyarrow")
+
+
+def token_heavy_hitters(
+    ds: rd.Dataset,
+    *,
+    text_column: str = "text",
+    k: int = 20,
+    split: str = " ",
+) -> pa.Table:
+    """Top-k most frequent tokens across a text corpus.
+
+    Classic combiner shape: each batch splits its text (one vectorized
+    ``split_pattern`` + flatten) and collapses to batch-local (token,
+    count) partials, so the shuffle moves per-batch VOCABULARY rows,
+    not per-token rows. The global groupby-sum then works on bounded
+    data, and the final top-k is the partial-top-k merge (no global
+    sort). Ties break lexicographically (count desc, token asc) so the
+    result is deterministic and oracle-comparable.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t[text_column], split))
+        tbl = pa.table({"token": pc.drop_null(toks)})
+        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))
+        return pa.TableGroupBy(tbl, "token").aggregate([("token", "count")])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("token_count", alias_name="cnt"))
+    )
+    out = top_k(
+        counts, k, sort_keys=["cnt", "token"], descending=[True, False]
+    )
+    return out.select(["token", "cnt"])
+
+
+def grouped_row_number(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_col: str,
+    out: str = "rn",
+) -> rd.Dataset:
+    """1-based ``row_number() OVER (PARTITION BY key ORDER BY order_col)``
+    as a distributed operator (windowed-rank coverage; the building
+    block for stratified sampling).
+
+    No per-group ``map_groups`` and no data rows on the driver: sort by
+    (key, order_col), then
+      pass 1: per sorted block, emit one METADATA row per key-run —
+              (key, run_min_order, run_count); #runs ≈ #keys + #blocks.
+      driver: order runs by (key, run_min_order), prefix-sum counts per
+              key → each run's global starting offset; broadcast the
+              map via ``ray.put``.
+      pass 2: per block, rank = run offset + vectorized arange.
+
+    Requires ``order_col`` values unique within each key (true
+    row_number needs a total order to be deterministic); raises if two
+    runs collide on (key, run_min_order).
+    """
+    import pyarrow.compute as pc
+
+    sorted_ds = ds.sort([key, order_col]).materialize()
+
+    def _run_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], t.schema.field(key).type),
+                 "_run_min": pa.array([], t.schema.field(order_col).type),
+                 "_run_n": pa.array([], pa.int64())}
+            )
+        keys = t[key].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        order = t[order_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {key: pa.array(keys[starts]),
+             "_run_min": pa.array(order[starts]),
+             "_run_n": pa.array(ends - starts, type=pa.int64())}
+        )
+
+    meta = sorted_ds.map_batches(
+        _run_meta, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    meta = meta.sort_values([key, "_run_min"], kind="mergesort")
+    meta["_off"] = meta.groupby(key)["_run_n"].cumsum() - meta["_run_n"]
+    pairs = list(zip(meta[key], meta["_run_min"]))
+    if len(set(pairs)) != len(pairs):
+        raise ValueError(
+            f"grouped_row_number: {order_col!r} not unique within "
+            f"{key!r} at a block boundary — rank would be ambiguous"
+        )
+    offsets_ref = ray.put(dict(zip(pairs, meta["_off"].astype(int))))
+
+    def _rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out, pa.array([], pa.int64()))
+        offsets = _fetch_broadcast(offsets_ref)
+        keys = t[key].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        order = t[order_col].to_numpy(zero_copy_only=False)
+        rn = np.empty(len(keys), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            base = offsets[(keys[s], order[s])]
+            rn[s:e] = base + np.arange(1, e - s + 1)
+        return t.append_column(out, pa.array(rn))
+
+    return sorted_ds.map_batches(
+        _rank, batch_format="pyarrow", batch_size=None
+    )
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_col: str,
+    every_k: int,
+) -> rd.Dataset:
+    """Deterministic stratified sample: within each ``key`` partition
+    (ordered by ``order_col``) keep every ``every_k``-th row starting
+    from the first. Same sampling fraction per stratum regardless of
+    stratum size — the standard shape for per-language / per-source
+    training-data subsampling. Built on ``grouped_row_number``."""
+    import pyarrow.compute as pc
+
+    ranked = grouped_row_number(ds, key=key, order_col=order_col)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((rn - 1) % every_k == 0)).drop_columns(
+            ["rn"]
+        )
+
+    return ranked.map_batches(_keep, batch_format="pyarrow")
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    value_col: str,
+    quantiles: list[float],
+) -> pd.DataFrame:
+    """Exact per-group discrete quantiles (``percentile_disc``: the
+    element at 1-indexed position ceil(q*n)) for an integer-valued
+    column, computed as a distributed VALUE HISTOGRAM:
+
+      1. per-batch (key, value) count combiner — shuffle moves
+         distinct-(key, value) pairs, never rows;
+      2. global groupby-sum of the counts;
+      3. per-key selection over the sorted (value, count) histogram —
+         bounded by distinct values per key (fixed-decimal money / int
+         columns stay bounded at any corpus size), done in one pandas
+         pass on the driver.
+
+    Returns a DataFrame (key, q_<pct> per quantile).
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(
+            t.select([key, value_col]), [key, value_col]
+        ).aggregate([([], "count_all")])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([key, value_col])
+        .aggregate(Sum("count_all", alias_name="cnt"))
+    )
+    from deduper_ray.functions.util import dataset_to_table
+
+    hist = dataset_to_table(counts).to_pandas()
+    hist = hist.sort_values([key, value_col], kind="mergesort")
+    rows = []
+    for kk, g in hist.groupby(key, sort=True):
+        n = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g[value_col].to_numpy()
+        row = {key: kk, "n": n}
+        for q in quantiles:
+            pos = max(1, int(np.ceil(q * n)))
+            row[f"q{int(round(q * 100))}"] = vals[
+                np.searchsorted(cum, pos, side="left")
+            ]
+        rows.append(row)
+    return pd.DataFrame(rows)

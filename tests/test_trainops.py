@@ -1,0 +1,104 @@
+"""Training-data curation operators (round 2): PII redaction, token
+heavy hitters, distributed grouped row_number / stratified sampling,
+exact grouped quantiles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from deduper_ray.functions.text import redact_pii
+from deduper_ray.stages.relational import (
+    grouped_quantiles,
+    grouped_row_number,
+    stratified_sample,
+    token_heavy_hitters,
+)
+
+
+def test_redact_pii_patterns():
+    t = pa.table(
+        {
+            "text": [
+                "write to bob.smith+x@mail.example.org today",
+                "server at 192.168.0.1 responded",
+                "call +1 (555) 010-1234 now",
+                "no pii here",
+                "a@b.co and 10.0.0.7 and 555 123 4567",
+            ]
+        }
+    )
+    out = redact_pii(t)["clean_text"].to_pylist()
+    assert out[0] == "write to [EMAIL] today"
+    assert out[1] == "server at [IP] responded"
+    assert out[2] == "call [PHONE] now"
+    assert out[3] == "no pii here"
+    assert out[4] == "[EMAIL] and [IP] and [PHONE]"
+
+
+def test_token_heavy_hitters_ties_and_counts():
+    docs = ["b a a", "c b a", "d c b a", ""]
+    ds = rd.from_arrow(pa.table({"text": docs})).repartition(3)
+    out = token_heavy_hitters(ds, text_column="text", k=3).to_pandas()
+    # counts: a=4 b=3 c=2 d=1; tie-break is lexicographic
+    assert out["token"].tolist() == ["a", "b", "c"]
+    assert out["cnt"].tolist() == [4, 3, 2]
+
+
+def test_grouped_row_number_matches_pandas_across_blocks():
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(list("abcde"), n),
+            "o": rng.permutation(n),
+            "payload": np.arange(n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(13)
+    got = (
+        grouped_row_number(ds, key="k", order_col="o")
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    expect = df.sort_values(["k", "o"]).reset_index(drop=True)
+    expect["rn"] = expect.groupby("k").cumcount() + 1
+    pd.testing.assert_frame_equal(got[["k", "o", "payload", "rn"]], expect)
+
+
+def test_stratified_sample_every_k_per_group():
+    df = pd.DataFrame(
+        {"lang": ["en"] * 20 + ["de"] * 7 + ["fr"] * 1,
+         "doc_id": list(range(20)) + list(range(100, 107)) + [200]}
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    out = (
+        stratified_sample(ds, key="lang", order_col="doc_id", every_k=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # en: ranks 1,6,11,16 → doc_ids 0,5,10,15; de: 100,105; fr: 200
+    assert out["doc_id"].tolist() == [0, 5, 10, 15, 100, 105, 200]
+
+
+def test_grouped_quantiles_percentile_disc_semantics():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["p", "q", "r"], 4000),
+            "v": rng.integers(0, 500, 4000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(9)
+    out = grouped_quantiles(
+        ds, key="g", value_col="v", quantiles=[0.5, 0.95, 0.99]
+    ).set_index("g")
+    for g, sub in df.groupby("g"):
+        vals = np.sort(sub["v"].to_numpy())
+        n = len(vals)
+        assert out.loc[g, "n"] == n
+        for q, col in [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")]:
+            assert out.loc[g, col] == vals[int(np.ceil(q * n)) - 1]
