@@ -71,6 +71,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_docs": q.top_tokens_docs,
         "stratified_sample_docs": q.stratified_sample_docs,
         "quantiles_orders_priority": q.quantiles_orders_priority,
+        # benchmark decontamination + chunk-level (paragraph-shaped)
+        # exact dedup
+        "decontaminate_docs": q.decontaminate_docs,
+        "chunk_dedupe_docs": q.chunk_dedupe_docs,
     }
 
 
@@ -484,5 +488,35 @@ def oracle_sql() -> dict[str, str]:
                    percentile_disc(0.99) WITHIN GROUP (ORDER BY
                        CAST(round(o_totalprice*100) AS BIGINT)) AS q99
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "decontaminate_docs": """
+            WITH bench AS (
+                SELECT array_to_string(l[1:5], ' ') AS gram FROM (
+                    SELECT string_split(text, ' ') AS l
+                    FROM documents WHERE doc_id % 97 = 0
+                )
+            )
+            SELECT doc_id, text, lang, source, n_chars FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM bench b WHERE contains(d.text, b.gram)
+            )
+            ORDER BY doc_id
+        """,
+        "chunk_dedupe_docs": """
+            WITH chunks AS (
+                SELECT doc_id, i, substr(text, i*32+1, 32) AS seg
+                FROM documents, generate_series(0, 200) g(i)
+                WHERE i*32 < len(text)
+            ), kept AS (
+                SELECT doc_id, i, seg FROM chunks
+                QUALIFY row_number() OVER (PARTITION BY seg
+                                           ORDER BY doc_id, i) = 1
+            )
+            SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN (
+                SELECT doc_id,
+                       string_agg(seg, '' ORDER BY i) AS clean_text
+                FROM kept GROUP BY doc_id
+            ) k USING (doc_id) ORDER BY doc_id
         """,
     }

@@ -806,3 +806,59 @@ def quantiles_orders_priority(sf_dir: str) -> pd.DataFrame:
         quantiles=[0.5, 0.95, 0.99],
     )
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (stages/decontam.py, substring mode):
+    the 'benchmark set' is the first-5-word gram of every 97th doc —
+    derived deterministically on BOTH sides — and any doc containing
+    one of those grams as a substring is dropped."""
+    from deduper_ray.stages.decontam import decontaminate
+
+    bench_tbl = dataset_to_table(
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "gram": pc.binary_join(
+                        pc.list_slice(
+                            pc.split_pattern(t["text"], " "), 0, 5
+                        ),
+                        " ",
+                    )
+                }
+            ).filter(
+                pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    grams = bench_tbl["gram"].to_pylist()
+    ds = rd.read_parquet(_t(sf_dir, "documents"))
+    out = decontaminate(ds, grams, mode="substring")
+    return (
+        dataset_to_table(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[
+            ["doc_id", "text", "lang", "source", "n_chars"]
+        ]
+    )
+
+
+def chunk_dedupe_docs(sf_dir: str) -> pd.DataFrame:
+    """Chunk-level exact dedup (stages/chunkdedup.py): 32-char blocks,
+    global first-occurrence-wins, docs reassembled from surviving
+    chunks (empty string when fully deduplicated)."""
+    from deduper_ray.stages.chunkdedup import chunk_dedupe
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = chunk_dedupe(ds, chunk_chars=32, num_partitions=8)
+    return (
+        dataset_to_table(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -102,3 +102,87 @@ def test_grouped_quantiles_percentile_disc_semantics():
         assert out.loc[g, "n"] == n
         for q, col in [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")]:
             assert out.loc[g, col] == vals[int(np.ceil(q * n)) - 1]
+
+
+def test_chunk_dedupe_first_occurrence_wins():
+    from deduper_ray.stages.chunkdedup import chunk_dedupe
+
+    # 4-char chunks; doc 2 repeats doc 1's first chunk; doc 3 is doc 1
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["AAAABBBB", "AAAACCCC", "AAAABBBB"],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(2)
+    out = (
+        chunk_dedupe(ds, chunk_chars=4, num_partitions=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"].tolist() == ["AAAABBBB", "CCCC", ""]
+
+
+def test_chunk_dedupe_tail_chunks_and_empty():
+    from deduper_ray.stages.chunkdedup import chunk_dedupe
+
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["abcdefg", "efg", ""]}
+    )
+    out = (
+        chunk_dedupe(
+            rd.from_pandas(docs), chunk_chars=4, num_partitions=2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc0 chunks: 'abcd','efg'; doc1 'efg' is a dupe of doc0's tail
+    assert out["clean_text"].tolist() == ["abcdefg", "", ""]
+
+
+def test_decontaminate_substring_and_flag():
+    from deduper_ray.stages.decontam import decontaminate
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["the quick brown fox", "lazy dog sleeps", "quick brown"],
+        }
+    )
+    ds = rd.from_pandas(docs)
+    out = decontaminate(ds, ["quick brown"], mode="substring").to_pandas()
+    assert sorted(out["doc_id"]) == [1]
+    flagged = (
+        decontaminate(ds, ["quick brown"], mode="substring", keep_flag="ok")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert flagged["ok"].tolist() == [False, True, False]
+
+
+def test_decontaminate_ngram_hash_token_semantics():
+    from deduper_ray.stages.decontam import decontaminate
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b c d e f",      # contains gram 'b c d'
+                "x b c dy e",       # 'b c dy' ≠ 'b c d' token-wise
+                "b c",              # short doc, no 3-gram
+                "q r s t",
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(2)
+    out = decontaminate(
+        ds, ["b c d"], mode="ngram_hash", ngram_n=3
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+    # short benchmark gram matches only whole short docs (documented)
+    out2 = decontaminate(
+        ds, ["b c"], mode="ngram_hash", ngram_n=3
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == [0, 1, 3]
