@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact dedup
         "decontaminate_docs": q.decontaminate_docs,
         "chunk_dedupe_docs": q.chunk_dedupe_docs,
+        # large-by-large hash-partitioned join (Dataset.join)
+        "join_orders_customers": q.join_orders_customers,
     }
 
 
@@ -518,5 +520,12 @@ def oracle_sql() -> dict[str, str]:
                        string_agg(seg, '' ORDER BY i) AS clean_text
                 FROM kept GROUP BY doc_id
             ) k USING (doc_id) ORDER BY doc_id
+        """,
+        "join_orders_customers": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1
         """,
     }

@@ -862,3 +862,59 @@ def chunk_dedupe_docs(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def join_orders_customers(sf_dir: str) -> pd.DataFrame:
+    """Large×large hash-partitioned join (stages/relational.py
+    partitioned_join — Ray's hash-shuffle Dataset.join), aggregated to
+    per-market-segment order counts + exact cent totals."""
+    from deduper_ray.stages.relational import partitioned_join
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "price_c": pa.array(
+                    _cents(t["o_totalprice"]), type=pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    customer = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["c_custkey"], "c_mktsegment": t["c_mktsegment"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = partitioned_join(
+        orders, customer, "o_custkey", num_partitions=8
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(
+            t.select(["c_mktsegment", "price_c"]), "c_mktsegment"
+        ).aggregate([("price_c", "sum"), ("price_c", "count")])
+
+    parts = dataset_to_table(
+        joined.map_batches(_partial, batch_format="pyarrow")
+    ).to_pandas()
+    df = (
+        parts.groupby("c_mktsegment", as_index=False)
+        .sum()
+        .rename(
+            columns={
+                "price_c_sum": "total_cents", "price_c_count": "n_orders"
+            }
+        )
+    )
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return (
+        df[["c_mktsegment", "n_orders", "total_cents"]]
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
