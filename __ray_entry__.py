@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedupe_docs": q.chunk_dedupe_docs,
         # large-by-large hash-partitioned join (Dataset.join)
         "join_orders_customers": q.join_orders_customers,
+        # SemDeDup-shaped semantic dedup (kmeans cells + cosine
+        # components; n_cells=1 → exact, oracle-checkable)
+        "semantic_dedupe_embeddings": q.semantic_dedupe_embeddings,
     }
 
 
@@ -527,5 +530,27 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "semantic_dedupe_embeddings": """
+            WITH RECURSIVE edges AS (
+                SELECT a.vec_id AS ia, b.vec_id AS ib
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding)
+                      >= 0.45
+            ),
+            sym AS (
+                SELECT ia AS a, ib AS b FROM edges
+                UNION SELECT ib, ia FROM edges
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT e.vec_id,
+                   least(e.vec_id, coalesce(min(r.b), e.vec_id)) AS rep_id
+            FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id
+            GROUP BY e.vec_id ORDER BY e.vec_id
         """,
     }

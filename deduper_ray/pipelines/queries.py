@@ -918,3 +918,22 @@ def join_orders_customers(sf_dir: str) -> pd.DataFrame:
         .sort_values("c_mktsegment")
         .reset_index(drop=True)
     )
+
+
+def semantic_dedupe_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-shaped semantic dedup (stages/ann.py semantic_dedupe):
+    every vector mapped to its min-id semantic representative under
+    cosine ≥ 0.45 components. ``n_cells=1`` makes the operator exact
+    all-pairs at this scale, so the recursive-closure SQL oracle is
+    exact-by-construction (the cells are the approximation knob at
+    corpus scale)."""
+    from deduper_ray.stages.ann import semantic_dedupe
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    out = semantic_dedupe(ds, threshold=0.45, n_cells=1)
+    return (
+        dataset_to_table(out)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )

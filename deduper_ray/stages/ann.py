@@ -496,3 +496,99 @@ def embedding_neardup(
         )
     )
     return verified.take(pa.array(order, type=pa.int64()))
+
+
+def semantic_dedupe(
+    embeddings: rd.Dataset,
+    *,
+    threshold: float,
+    n_cells: int = 16,
+    sample_mod: int = 8,
+    seed: int = 42,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> rd.Dataset:
+    """SemDeDup-shaped semantic dedup: k-means cells over a
+    deterministic sample (same index build as ``ivf_topk``), each
+    vector assigned to its nearest cell (broadcast centroids, one
+    matmul per batch), then WITHIN each cell an exact cosine graph at
+    ``threshold`` whose connected components collapse to the min-id
+    representative.
+
+    Returns (id_column, rep_id): every vector maps to its semantic
+    representative (itself when unclustered). Keep rows with
+    ``id == rep_id`` to materialize the deduped corpus.
+
+    Partitioning assumptions: cells are the unit of pairwise work —
+    size ``n_cells`` ~ sqrt(corpus) (the SemDeDup regime) so a cell's
+    member matrix fits one worker; cross-cell near-dups are missed by
+    construction (raise n_cells accuracy via ``n_cells=1`` only at
+    toy scale, where the operator degenerates to exact all-pairs —
+    the oracle-checkable configuration).
+    """
+    import pandas as pd
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    def _sample(t: pa.Table) -> pa.Table:
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % sample_mod == 0)).select([vec_column])
+
+    sample_tbl = dataset_to_table(
+        embeddings.map_batches(_sample, batch_format="pyarrow")
+    )
+    centroids = spherical_kmeans(
+        _to_matrix(sample_tbl[vec_column]), n_cells, seed=seed
+    )
+    cent_ref = ray.put(centroids)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        from deduper_ray.stages.relational import _fetch_broadcast
+
+        cent = _fetch_broadcast(cent_ref)
+        x = _normalize(_to_matrix(t[vec_column]))
+        cell = np.argmax(x @ cent.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_column: t[id_column],
+                "_cell": pa.array(cell),
+                vec_column: t[vec_column],
+            }
+        )
+
+    assigned = embeddings.select_columns(
+        [id_column, vec_column]
+    ).map_batches(_assign, batch_format="pyarrow")
+
+    def _collapse(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_column].to_numpy()
+        x = _normalize(np.stack(df[vec_column].to_numpy()))
+        n = len(ids)
+        order = np.argsort(ids)
+        ids, x = ids[order], x[order]
+        # min-id representative via one pass over the upper triangle:
+        # processing ids ascending, each vector joins the earliest
+        # neighbor's component (path-compressed union-find)
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        sims = x @ x.T
+        a_idx, b_idx = np.nonzero(np.triu(sims >= threshold, k=1))
+        for i, j in zip(a_idx, b_idx):
+            ri, rj = find(int(i)), find(int(j))
+            if ri != rj:
+                if ri < rj:
+                    parent[rj] = ri
+                else:
+                    parent[ri] = rj
+        rep = np.array([ids[find(i)] for i in range(n)])
+        return pd.DataFrame({id_column: ids, "rep_id": rep})
+
+    return assigned.groupby("_cell").map_groups(
+        _collapse, batch_format="pandas"
+    )

@@ -186,3 +186,34 @@ def test_decontaminate_ngram_hash_token_semantics():
         ds, ["b c"], mode="ngram_hash", ngram_n=3
     ).to_pandas()
     assert sorted(out2["doc_id"]) == [0, 1, 3]
+
+
+def test_semantic_dedupe_matches_bruteforce_components():
+    from deduper_ray.stages.ann import semantic_dedupe
+
+    rng = np.random.default_rng(3)
+    # 5 well-separated direction clusters of 8 near-identical vectors
+    base = rng.normal(size=(5, 16))
+    vecs, ids = [], []
+    for c in range(5):
+        for j in range(8):
+            v = base[c] + rng.normal(scale=0.01, size=16)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            ids.append(c * 100 + j)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [list(v) for v in vecs]})
+    ds = rd.from_pandas(df).repartition(4)
+    out = (
+        semantic_dedupe(ds, threshold=0.95, n_cells=1)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 40
+    # every member of cluster c maps to its min id c*100
+    assert (out["rep_id"] == (out["vec_id"] // 100) * 100).all()
+    # approximate mode (cells) still returns every id exactly once and
+    # never maps across true clusters
+    out2 = semantic_dedupe(ds, threshold=0.95, n_cells=4, sample_mod=1)
+    got = out2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert got["vec_id"].tolist() == sorted(ids)
+    assert (got["rep_id"] // 100 == got["vec_id"] // 100).all()
