@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup-shaped semantic dedup (kmeans cells + cosine
         # components; n_cells=1 → exact, oracle-checkable)
         "semantic_dedupe_embeddings": q.semantic_dedupe_embeddings,
+        # intra-doc repetition quality signals (Gopher-rule family)
+        "repetition_docs": q.repetition_docs,
     }
 
 
@@ -552,5 +554,30 @@ def oracle_sql() -> dict[str, str]:
                    least(e.vec_id, coalesce(min(r.b), e.vec_id)) AS rep_id
             FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id
             GROUP BY e.vec_id ORDER BY e.vec_id
+        """,
+        "repetition_docs": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ), stats AS (
+                SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+                       count(*) AS n_distinct_words,
+                       max(cnt) AS top_freq
+                FROM (
+                    SELECT doc_id, w, count(*) AS cnt FROM words
+                    WHERE w <> '' GROUP BY doc_id, w
+                ) GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.text,
+                   coalesce(s.n_words, 0) AS n_words,
+                   coalesce(s.n_distinct_words, 0) AS n_distinct_words,
+                   round(1.0 - coalesce(s.n_distinct_words, 0)::DOUBLE
+                         / greatest(coalesce(s.n_words, 0), 1), 6)
+                       AS dup_word_ratio,
+                   round(coalesce(s.top_freq, 0)::DOUBLE
+                         / greatest(coalesce(s.n_words, 0), 1), 6)
+                       AS top_word_ratio
+            FROM documents d LEFT JOIN stats s USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }

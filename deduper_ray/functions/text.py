@@ -202,3 +202,49 @@ def add_simhash_md5(
     return batch.append_column(
         out, pa.array(sims.view(np.int64), type=pa.int64())
     ).append_column("n_shingles", pa.array(counts, type=pa.int64()))
+
+
+def add_repetition_stats(
+    batch: pa.Table, *, text_column: str = "text"
+) -> pa.Table:
+    """Intra-document repetition signals (the Gopher-rule family):
+    n_words, n_distinct_words, dup_word_ratio (1 − distinct/total) and
+    top_word_ratio (most frequent word's share). Vectorized: one
+    split per batch, then C-level pandas explode + groupby nunique —
+    no per-row Python."""
+    import pandas as pd
+
+    toks = pc.split_pattern(batch[text_column], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values.to_numpy(zero_copy_only=False)
+    import numpy as np
+
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(
+        np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets)
+    )
+    keep = flat != ""
+    s = pd.DataFrame({"d": doc_of[keep], "w": flat[keep]})
+    g = s.groupby("d")["w"]
+    n_words = np.zeros(batch.num_rows, dtype=np.int64)
+    n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
+    top_freq = np.zeros(batch.num_rows, dtype=np.int64)
+    if len(s):
+        cnt = g.count()
+        n_words[cnt.index.to_numpy()] = cnt.to_numpy()
+        nun = g.nunique()
+        n_distinct[nun.index.to_numpy()] = nun.to_numpy()
+        per = s.groupby(["d", "w"]).size().groupby(level=0).max()
+        top_freq[per.index.to_numpy()] = per.to_numpy()
+    denom = np.maximum(n_words, 1)
+    batch = batch.append_column("n_words", pa.array(n_words))
+    batch = batch.append_column("n_distinct_words", pa.array(n_distinct))
+    batch = batch.append_column(
+        "dup_word_ratio",
+        pa.array(1.0 - n_distinct / denom, type=pa.float64()),
+    )
+    batch = batch.append_column(
+        "top_word_ratio", pa.array(top_freq / denom, type=pa.float64())
+    )
+    return batch

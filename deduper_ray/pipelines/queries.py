@@ -937,3 +937,22 @@ def semantic_dedupe_embeddings(sf_dir: str) -> pd.DataFrame:
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
+
+
+def repetition_docs(sf_dir: str) -> pd.DataFrame:
+    """Intra-doc repetition quality signals (functions/text.py
+    add_repetition_stats): dup-word and top-word ratios per doc."""
+    from deduper_ray.functions.text import add_repetition_stats
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = (
+        dataset_to_table(
+            ds.map_batches(
+                lambda t: add_repetition_stats(t), batch_format="pyarrow"
+            )
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return _round6(out, ["dup_word_ratio", "top_word_ratio"])

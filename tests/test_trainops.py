@@ -217,3 +217,14 @@ def test_semantic_dedupe_matches_bruteforce_components():
     got = out2.to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert got["vec_id"].tolist() == sorted(ids)
     assert (got["rep_id"] // 100 == got["vec_id"] // 100).all()
+
+
+def test_repetition_stats():
+    from deduper_ray.functions.text import add_repetition_stats
+
+    t = pa.table({"text": ["a a a b", "x y z", "", "q  q"]})
+    out = add_repetition_stats(t)
+    assert out["n_words"].to_pylist() == [4, 3, 0, 2]
+    assert out["n_distinct_words"].to_pylist() == [2, 3, 0, 1]
+    assert out["dup_word_ratio"].to_pylist() == [0.5, 0.0, 1.0, 0.5]
+    assert out["top_word_ratio"].to_pylist() == [0.75, 1 / 3, 0.0, 1.0]
