@@ -36,7 +36,7 @@ import ray.data as rd
 from deduper_ray.config import NearDupConfig
 from deduper_ray.sources.readers import read_table
 from deduper_ray.stages.lsh import candidate_pairs
-from deduper_ray.stages.minhash import MinHashSigner
+from deduper_ray.stages.minhash import MinHashSigner, make_signer_fn
 from deduper_ray.stages.verify import verify_pairs
 from deduper_ray.state.lineage import (
     config_hash,
@@ -102,25 +102,35 @@ def run_neardup(
             )
         else:
             ds = source
-        concurrency = cfg.concurrency
-        if concurrency is None:
-            n = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
-            concurrency = (max(1, n // 4), n)
-        signed = ds.map_batches(
-            MinHashSigner,
-            fn_constructor_kwargs={
-                "num_perms": cfg.num_perms,
-                "shingle_k": cfg.shingle_k,
-                "seed": cfg.seed,
-                "text_column": cfg.text_column,
-                "id_column": cfg.id_column,
-                "use_token_shingles": cfg.use_token_shingles,
-                "scheme": cfg.minhash_scheme,
-            },
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=concurrency,
+        signer_kwargs = dict(
+            num_perms=cfg.num_perms,
+            shingle_k=cfg.shingle_k,
+            seed=cfg.seed,
+            text_column=cfg.text_column,
+            id_column=cfg.id_column,
+            use_token_shingles=cfg.use_token_shingles,
+            scheme=cfg.minhash_scheme,
         )
+        if cfg.concurrency is not None:
+            # explicit sizing → dedicated actor pool (reserves CPUs)
+            signed = ds.map_batches(
+                MinHashSigner,
+                fn_constructor_kwargs=signer_kwargs,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=cfg.concurrency,
+            )
+        else:
+            # default: task pool + per-process signer cache
+            # (stages/minhash.py make_signer_fn). Same build-once-per-
+            # process state as an actor pool, but tasks reuse Ray's
+            # warm worker processes — no per-job actor spawn, and no
+            # CPUs reserved away from the read/write stages.
+            signed = ds.map_batches(
+                make_signer_fn(**signer_kwargs),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
         signatures = write_stage(
             signed, sig_dir, stage="signatures", cfg_hash=chash,
             inputs=[src_desc],

@@ -269,3 +269,28 @@ def exact_jaccard(a: bytes | str, b: bytes | str, k: int) -> float:
         return 1.0
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter)
+
+
+# Per-worker-process signer cache: lets the signatures stage run as a
+# STATELESS task pool (tasks reuse Ray's warm worker processes — no
+# per-job actor process spawn) while still building permutation state
+# once per process, which is all the "actor state" this stage needs.
+# Capped at 2 entries (only the current job's config recurs).
+_SIGNER_CACHE: dict[tuple, "MinHashSigner"] = {}
+
+
+def make_signer_fn(**kwargs):
+    """Task-pool twin of ``map_batches(MinHashSigner, ...)``: returns a
+    plain function whose per-process ``MinHashSigner`` is built on
+    first use and reused for every subsequent batch in that worker."""
+    key = tuple(sorted(kwargs.items()))
+
+    def _sign(batch: pa.Table) -> pa.Table:
+        signer = _SIGNER_CACHE.get(key)
+        if signer is None:
+            if len(_SIGNER_CACHE) >= 2:
+                _SIGNER_CACHE.pop(next(iter(_SIGNER_CACHE)))
+            signer = _SIGNER_CACHE[key] = MinHashSigner(**kwargs)
+        return signer(batch)
+
+    return _sign
