@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedupe_embeddings": q.semantic_dedupe_embeddings,
         # intra-doc repetition quality signals (Gopher-rule family)
         "repetition_docs": q.repetition_docs,
+        # set-op EXCEPT (broadcast anti-join)
+        "except_click_not_buy_users": q.except_click_not_buy_users,
     }
 
 
@@ -579,5 +581,12 @@ def oracle_sql() -> dict[str, str]:
                        AS top_word_ratio
             FROM documents d LEFT JOIN stats s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "except_click_not_buy_users": """
+            SELECT DISTINCT user_id FROM events
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 200.0
+            ORDER BY user_id
         """,
     }

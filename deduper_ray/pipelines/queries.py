@@ -956,3 +956,40 @@ def repetition_docs(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return _round6(out, ["dup_word_ratio", "top_word_ratio"])
+
+
+def except_click_not_buy_users(sf_dir: str) -> pd.DataFrame:
+    """Set-op EXCEPT: all users minus users with a big (>200) purchase
+    — distinct per side, the subtracted side broadcast as an ANTI-join
+    filter (gap table 'Set ops': except = broadcast anti-join, the
+    same shape as the seen-hash filter O8)."""
+    from deduper_ray.stages.relational import distinct
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+
+    def _filtered(mask_fn) -> pa.Table:
+        filtered = ds.map_batches(
+            lambda t: t.filter(mask_fn(t)).select(["user_id"]),
+            batch_format="pyarrow",
+        )
+        return dataset_to_table(
+            distinct(filtered, ["user_id"]),
+            pa.schema([("user_id", pa.int64())]),
+        )
+
+    clicks = _filtered(lambda t: pc.greater_equal(t["user_id"], 0))
+    buys = _filtered(
+        lambda t: pc.and_(
+            pc.equal(t["event_type"], "purchase"),
+            pc.greater(t["value"], 200.0),
+        )
+    )
+    buy_set = pc.unique(buys["user_id"])
+    out = clicks.filter(
+        pc.invert(pc.is_in(clicks["user_id"], value_set=buy_set))
+    )
+    return (
+        out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    )

@@ -100,3 +100,43 @@ def test_exact_jaccard_bounds():
     assert exact_jaccard("hello world " * 10, "hello world " * 10, 8) == 1.0
     j = exact_jaccard("aaaaaaaaaaaa", "zzzzzzzzzzzz", 8)
     assert j == 0.0
+
+
+def test_task_pool_signer_equals_actor_pool(tmp_path):
+    """The default task-pool signatures path (make_signer_fn,
+    per-process cache) must be bit-identical to the explicit
+    actor-pool path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from deduper_ray.stages.minhash import MinHashSigner, make_signer_fn
+
+    rng = np.random.default_rng(1)
+    texts = [
+        "".join(chr(97 + int(c)) for c in rng.integers(0, 26, int(n)))
+        for n in rng.integers(0, 300, 400)
+    ]
+    df = pd.DataFrame({"row_id": np.arange(400), "content": texts})
+    kwargs = dict(
+        num_perms=64, shingle_k=8, seed=7,
+        text_column="content", id_column="row_id",
+    )
+    task = (
+        rd.from_pandas(df).repartition(4)
+        .map_batches(make_signer_fn(**kwargs), batch_format="pyarrow",
+                     batch_size=128)
+        .to_pandas().sort_values("row_id").reset_index(drop=True)
+    )
+    actor = (
+        rd.from_pandas(df).repartition(4)
+        .map_batches(MinHashSigner, fn_constructor_kwargs=kwargs,
+                     batch_format="pyarrow", batch_size=128,
+                     concurrency=2)
+        .to_pandas().sort_values("row_id").reset_index(drop=True)
+    )
+    assert task["simhash"].tolist() == actor["simhash"].tolist()
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(task["minhash"], actor["minhash"])
+    )
