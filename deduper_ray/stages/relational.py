@@ -371,25 +371,42 @@ def grouped_row_number(
     key: str,
     order_col: str,
     out: str = "rn",
+    backend: str = "runscan",
 ) -> rd.Dataset:
     """1-based ``row_number() OVER (PARTITION BY key ORDER BY order_col)``
     as a distributed operator (windowed-rank coverage; the building
     block for stratified sampling).
 
-    No per-group ``map_groups`` and no data rows on the driver: sort by
-    (key, order_col), then
+    ``backend="runscan"`` (default — LOW-cardinality keys, e.g.
+    language/source strata): no per-group ``map_groups`` and no data
+    rows on the driver — sort by (key, order_col), then
       pass 1: per sorted block, emit one METADATA row per key-run —
               (key, run_min_order, run_count); #runs ≈ #keys + #blocks.
       driver: order runs by (key, run_min_order), prefix-sum counts per
               key → each run's global starting offset; broadcast the
               map via ``ray.put``.
       pass 2: per block, rank = run offset + vectorized arange.
+    The driver holds one row PER DISTINCT KEY — pick the bucket
+    backend when key cardinality is corpus-scale.
+
+    ``backend="bucket"`` (HIGH-cardinality keys, e.g. per-user): hash-
+    bucket rows by key (every key's rows land in one bucket), then one
+    bounded-cardinality ``groupby(bucket)`` with a vectorized
+    sort+cumcount per bucket. Nothing on the driver at any cardinality;
+    requires each bucket (≈ corpus / #buckets) to fit a worker.
 
     Requires ``order_col`` values unique within each key (true
-    row_number needs a total order to be deterministic); raises if two
-    runs collide on (key, run_min_order).
+    row_number needs a total order to be deterministic); the runscan
+    backend raises if two runs collide on (key, run_min_order).
     """
     import pyarrow.compute as pc
+
+    if backend == "bucket":
+        return _grouped_row_number_bucketed(
+            ds, key=key, order_col=order_col, out=out
+        )
+    if backend != "runscan":
+        raise ValueError(f"unknown grouped_row_number backend {backend!r}")
 
     sorted_ds = ds.sort([key, order_col]).materialize()
 
@@ -521,3 +538,63 @@ def grouped_quantiles(
             ]
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+def _grouped_row_number_bucketed(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_col: str,
+    out: str = "rn",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Bucket backend for grouped_row_number: co-locate each key's rows
+    by key hash (string keys hashed via Arrow's 64-bit hash, numeric
+    keys via golden-ratio multiply), then rank inside the bucket with
+    one vectorized pandas groupby-cumcount."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if num_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_buckets = max(4, min(256, cpus * 2))
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        col = t[key]
+        if pa.types.is_integer(col.type):
+            kv = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            # stable string hash: blake2b over the batch's DISTINCT
+            # values (vocab-bounded loop), mapped back vectorized
+            import hashlib
+
+            vals = col.to_numpy(zero_copy_only=False)
+            uniq, inverse = np.unique(vals, return_inverse=True)
+            hu = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            str(v).encode(), digest_size=8
+                        ).digest(),
+                        "little",
+                    )
+                    for v in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            kv = hu[inverse]
+        b = ((kv * _GOLD) >> np.uint64(33)) % np.uint64(num_buckets)
+        return t.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col], kind="mergesort")
+        df[out] = df.groupby(key, sort=False).cumcount() + 1
+        return df.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(_rank, batch_format="pandas")
+    )

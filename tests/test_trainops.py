@@ -228,3 +228,36 @@ def test_repetition_stats():
     assert out["n_distinct_words"].to_pylist() == [2, 3, 0, 1]
     assert out["dup_word_ratio"].to_pylist() == [0.5, 0.0, 1.0, 0.5]
     assert out["top_word_ratio"].to_pylist() == [0.75, 1 / 3, 0.0, 1.0]
+
+
+def test_grouped_row_number_bucket_backend_equivalence():
+    rng = np.random.default_rng(17)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 200, n),      # high-cardinality int key
+            "o": rng.permutation(n),
+            "p": np.arange(n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)
+    a = (
+        grouped_row_number(ds, key="k", order_col="o", backend="runscan")
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    b = (
+        grouped_row_number(ds, key="k", order_col="o", backend="bucket")
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[["k", "o", "p", "rn"]],
+                                  b[["k", "o", "p", "rn"]])
+    # string keys route through the blake2b path
+    df2 = df.assign(k=df["k"].map(lambda v: f"user-{v}"))
+    ds2 = rd.from_pandas(df2).repartition(7)
+    c = (
+        grouped_row_number(ds2, key="k", order_col="o", backend="bucket")
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    expect = df2.sort_values(["k", "o"]).reset_index(drop=True)
+    expect["rn"] = expect.groupby("k").cumcount() + 1
+    pd.testing.assert_frame_equal(c[["k", "o", "p", "rn"]], expect)
