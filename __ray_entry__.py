@@ -83,7 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # intra-doc repetition quality signals (Gopher-rule family)
         "repetition_docs": q.repetition_docs,
         # set-op EXCEPT (broadcast anti-join)
-        "except_click_not_buy_users": q.except_click_not_buy_users,
+        "except_users_no_big_purchase": q.except_users_no_big_purchase,
     }
 
 
@@ -582,7 +582,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN stats s USING (doc_id)
             ORDER BY d.doc_id
         """,
-        "except_click_not_buy_users": """
+        "except_users_no_big_purchase": """
             SELECT DISTINCT user_id FROM events
             EXCEPT
             SELECT DISTINCT user_id FROM events

@@ -1,6 +1,6 @@
 """Near-duplicate detection + clustering pipeline (the north-rule job).
 
-    read(code_files) ──► MinHashSigner (actor pool)  ─► signatures/   ckpt
+    read(code_files) ──► signer (task pool, per-proc state) ─► signatures/ ckpt
     signatures ──► band explode ─► groupby(band_key) ─► candidates
     candidates ──► MinHash/SimHash verify            ─► pairs/        ckpt
     pairs ──► containment (suffix-array substring)   ─► (flag column)

@@ -958,7 +958,7 @@ def repetition_docs(sf_dir: str) -> pd.DataFrame:
     return _round6(out, ["dup_word_ratio", "top_word_ratio"])
 
 
-def except_click_not_buy_users(sf_dir: str) -> pd.DataFrame:
+def except_users_no_big_purchase(sf_dir: str) -> pd.DataFrame:
     """Set-op EXCEPT: all users minus users with a big (>200) purchase
     — distinct per side, the subtracted side broadcast as an ANTI-join
     filter (gap table 'Set ops': except = broadcast anti-join, the
