@@ -46,6 +46,10 @@ from deduper_ray.state.lineage import (
 )
 from deduper_ray.state.unionfind import cluster_edges
 
+# raw-pair-row count above which candidate resolution switches from the
+# driver collect to LATE DEDUP (patchable for tests)
+LATE_DEDUP_THRESHOLD = 5_000_000
+
 
 @dataclass
 class NearDupResult:
@@ -170,22 +174,29 @@ def run_neardup(
             hot_bucket_threshold=cfg.hot_bucket_threshold,
         )
         # adaptive resolution: below ~5M raw pair rows the driver
-        # collect + packed np.unique beats a second distributed sort;
-        # above it, pairs must stay a Dataset (the serial collect was
-        # the largest non-scaling term at 10^6 files)
+        # collect + packed np.unique is cheapest; above it, LATE DEDUP
+        # (stages/lsh.py candidate_pair_rows) — raw pairs stay a
+        # Dataset and go straight to verification, and the distinct
+        # runs on the much smaller verified set. (The old distributed
+        # pre-verify distinct re-sorted every candidate row on
+        # (id_a, id_b): 65 s of all-to-all at 2M docs / 8 CPUs and the
+        # main scaling-efficiency sink.)
         scanned = scanned.materialize()
         n_scanned = scanned.count()
-        if n_scanned <= 5_000_000:
+        late_dedup = n_scanned > LATE_DEDUP_THRESHOLD
+        if late_dedup:
+            from deduper_ray.stages.lsh import candidate_pair_rows
+
+            cands, n_dropped = candidate_pair_rows(
+                scanned, max_pairs_per_bucket=cfg.max_pairs_per_bucket
+            )
+        else:
             from deduper_ray.stages.lsh import collect_candidate_pairs
 
             ctbl, n_dropped = collect_candidate_pairs(
                 scanned, max_pairs_per_bucket=cfg.max_pairs_per_bucket
             )
             cands = rd.from_arrow(ctbl)
-        else:
-            cands, n_dropped = candidate_pair_dataset(
-                scanned, max_pairs_per_bucket=cfg.max_pairs_per_bucket
-            )
         cands = cands.materialize()
         if n_dropped:
             import logging
@@ -242,6 +253,36 @@ def run_neardup(
                 ),
                 id_column=cfg.id_column,
             )
+        if late_dedup:
+            # cross-band duplicate pairs survived to scoring; a pair's
+            # scores are a pure function of its signatures, so a
+            # distinct over the VERIFIED set (~15% of raw pairs)
+            # removes them exactly. Adaptive like the candidate
+            # resolution: small → driver drop_duplicates (seconds);
+            # large → sort + per-block adjacent dedup (NOT a Ray
+            # groupby-aggregate, which measured 250 s on 6.5M rows).
+            scored = scored.materialize()
+            n_scored = scored.count()
+            if n_scored <= LATE_DEDUP_THRESHOLD:
+                sdf = scored.to_pandas().drop_duplicates(["id_a", "id_b"])
+                scored = rd.from_arrow(
+                    pa.Table.from_pandas(sdf, preserve_index=False)
+                )
+            else:
+                def _block_dedup(t: pa.Table) -> pa.Table:
+                    if t.num_rows == 0:
+                        return t
+                    a = t["id_a"].to_numpy(zero_copy_only=False)
+                    b = t["id_b"].to_numpy(zero_copy_only=False)
+                    keep = np.ones(a.size, dtype=bool)
+                    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                    return t.filter(pa.array(keep))
+
+                # ≤1 surviving duplicate per block boundary — harmless
+                # for union-find and bounded by #blocks in the count
+                scored = scored.sort(["id_a", "id_b"]).map_batches(
+                    _block_dedup, batch_format="pyarrow", batch_size=None
+                )
         if ident_edges is not None and ident_edges.num_rows:
             # collapsed exact-dup members rejoin as Jaccard-1.0 edges
             n_id = ident_edges.num_rows

@@ -40,3 +40,35 @@ def test_backends_reproduce_default_clusters(corpus, tmp_path_factory):
         corpus, tmp_path_factory, cluster_backend="labelprop"
     )
     assert labelprop == base
+
+
+def test_late_dedup_path_matches_collect(tmp_path, monkeypatch):
+    """Forcing the late-dedup resolution (raw pairs → verify →
+    post-verify distinct) must produce the same verified pair set and
+    clusters as the driver-collect path."""
+    import pandas as pd
+
+    import deduper_ray.pipelines.neardup as nd
+    from deduper_ray.config import NearDupConfig
+    from deduper_ray.sources.synth import make_code_files
+
+    src = str(tmp_path / "files.parquet")
+    make_code_files(src, n_rows=3000, seed=9)
+    cfg = NearDupConfig(
+        text_column="content", shingle_k=8, num_perms=64, bands=16,
+        threshold=0.7, batch_size=256,
+    )
+    r1 = nd.run_neardup(src, str(tmp_path / "a"), cfg, resume=False)
+    monkeypatch.setattr(nd, "LATE_DEDUP_THRESHOLD", 0)
+    r2 = nd.run_neardup(src, str(tmp_path / "b"), cfg, resume=False)
+    assert r1.n_verified_pairs == r2.n_verified_pairs
+    assert r1.n_clusters == r2.n_clusters
+    p1 = (
+        r1.pairs().to_pandas()[["id_a", "id_b"]]
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    p2 = (
+        r2.pairs().to_pandas()[["id_a", "id_b"]]
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(p1, p2)
