@@ -94,15 +94,24 @@ def read_parquet_with_row_ids(
         schema = schema.append(pa.field(row_id_column, pa.int64()))
         return rd.from_arrow(schema.empty_table())
 
-    # Parallelism: one task per row group is the natural unit (and the
-    # only unit at 100 TB, where inputs have thousands of row groups) —
-    # each row group is decoded EXACTLY ONCE. Small inputs with
-    # few/monolithic row groups would serialize the whole pipeline
-    # behind 1 block, so when the plan is smaller than ``min_tasks`` we
-    # re-chunk the decoded blocks with a streaming repartition
-    # (StreamingRepartition is a map-style block split — no all-to-all,
-    # no re-decode) to restore downstream parallelism.
+    # Parallelism: row groups are the decode unit (each decoded EXACTLY
+    # once), but the TASK count is clamped to a cluster-sized band —
+    # one task per row group on a many-row-group input floods the
+    # pipeline with tiny blocks (977 × 2048-row blocks at 2M rows
+    # measured a 3× slowdown on the downstream sort), while a
+    # few-row-group input would serialize everything behind 1-2 blocks.
+    # Too many row groups → several groups per task (merged into one
+    # block); too few → streaming block split after the decode
+    # (StreamingRepartition is map-style: it splits, never merges).
     min_tasks = 64
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    max_tasks = max(min_tasks, cpus * 4)
+    n_tasks = min(len(plan), max_tasks)
     tasks = [
         {"path": p.path, "row_group": p.row_group, "offset": p.offset}
         for p in plan
@@ -120,15 +129,16 @@ def read_parquet_with_row_ids(
             tables.append(part.append_column(row_id_column, pa.array(rid)))
         return pa.concat_tables(tables)
 
-    plan_ds = rd.from_items(tasks, override_num_blocks=len(tasks))
-    # batch_size=1 → exactly one read task per row group. The off-unit
-    # num_cpus blocks operator FUSION with downstream map_batches:
-    # fused, a downstream row-based batch_size would bundle the 1-row
-    # PLAN blocks into a single task and serialize the whole pipeline
-    # behind one reader. 0.99 (not 1.01) so reader tasks can still
-    # squeeze in next to a full actor pool on a small CPU budget.
+    plan_ds = rd.from_items(tasks, override_num_blocks=n_tasks)
+    # batch_size=None → one read task per plan block (several row
+    # groups each when clamped). The off-unit num_cpus blocks operator
+    # FUSION with downstream map_batches: fused, a downstream row-based
+    # batch_size would bundle the tiny PLAN blocks into a single task
+    # and serialize the whole pipeline behind one reader. 0.99 (not
+    # 1.01) so reader tasks can still squeeze in next to a full actor
+    # pool on a small CPU budget.
     ds = plan_ds.map_batches(
-        _read, batch_format="pyarrow", batch_size=1, num_cpus=0.99
+        _read, batch_format="pyarrow", batch_size=None, num_cpus=0.99
     )
     if len(plan) < min_tasks:
         total = sum(p.num_rows for p in plan)

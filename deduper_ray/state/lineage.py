@@ -70,6 +70,25 @@ def write_stage(
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
     mat = ds.materialize()
+    # Guard downstream parallelism: a narrow stage can materialize as a
+    # handful of jumbo blocks (map outputs coalesce toward
+    # target_max_block_size) and every downstream map/sort then runs
+    # that few tasks. Split with a STREAMING repartition (map-style —
+    # it can split but NOT merge; the too-many-tiny-blocks direction is
+    # handled at the source by the reader's task clamp).
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 4))
+        n_rows = mat.count()
+        n_blocks = mat.num_blocks()
+        want = cpus * 4
+        if n_blocks < want and n_rows > want * 1024:
+            mat = mat.repartition(
+                target_num_rows_per_block=max(1024, n_rows // want)
+            ).materialize()
+    except Exception:
+        pass
     mat.write_parquet(tmp)
     rows = _count_rows(tmp)
     wall = time.time() - t0
