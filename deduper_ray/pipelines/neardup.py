@@ -40,6 +40,7 @@ from deduper_ray.stages.minhash import MinHashSigner, make_signer_fn
 from deduper_ray.stages.verify import verify_pairs
 from deduper_ray.state.lineage import (
     config_hash,
+    flush_pending_checkpoints,
     read_stage,
     stage_is_complete,
     write_stage,
@@ -135,9 +136,12 @@ def run_neardup(
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
             )
+        # async: the parquet persistence (disk-bound, CPU-count-
+        # independent serial term) overlaps the LSH/verify compute;
+        # flushed before any read-back and before the run returns
         signatures = write_stage(
             signed, sig_dir, stage="signatures", cfg_hash=chash,
-            inputs=[src_desc],
+            inputs=[src_desc], async_write=True,
         )
     stage_sec["signatures"] = round(time.time() - t_start, 2)
     n_docs = signatures.count()
@@ -311,6 +315,7 @@ def run_neardup(
         verified = write_stage(
             scored, pairs_dir, stage="pairs", cfg_hash=chash,
             inputs=[sig_dir], extra_metrics={"candidate_pairs": n_cand},
+            async_write=True,
         )
     stage_sec["verify"] = round(time.time() - t_mark, 2)
     n_verified = verified.count()
@@ -318,6 +323,7 @@ def run_neardup(
 
     # ---- optional: suffix-array containment flag --------------------
     if containment and isinstance(source, str) and n_verified:
+        flush_pending_checkpoints()  # reads + rewrites pairs_dir
         _flag_containment(source, pairs_dir, cfg)
         verified = read_stage(pairs_dir)
 
@@ -366,6 +372,7 @@ def run_neardup(
                 cfg_hash=chash, inputs=[pairs_dir],
             )
 
+    flush_pending_checkpoints()
     stage_sec["cluster"] = round(time.time() - t_mark, 2)
     cl = clusters_ds.to_pandas()
     n_clusters = cl["cluster_id"].nunique() if len(cl) else 0

@@ -50,6 +50,25 @@ def stage_is_complete(stage_dir: str, cfg_hash: str) -> bool:
     return lineage.get("config_hash") == cfg_hash and lineage.get("complete")
 
 
+# Background checkpoint writers started by write_stage(async_write=True).
+# flush_pending_checkpoints() joins them (and re-raises the first
+# failure); pipelines call it before declaring a run complete and
+# before READING any checkpoint directory back.
+_PENDING_WRITES: list = []
+
+
+def flush_pending_checkpoints() -> None:
+    global _PENDING_WRITES
+    pending, _PENDING_WRITES = _PENDING_WRITES, []
+    err = None
+    for t, box in pending:
+        t.join()
+        if box and err is None:
+            err = box[0]
+    if err is not None:
+        raise err
+
+
 def write_stage(
     ds: rd.Dataset,
     stage_dir: str,
@@ -58,12 +77,23 @@ def write_stage(
     cfg_hash: str,
     inputs: list[str],
     extra_metrics: dict | None = None,
+    async_write: bool = False,
 ) -> rd.Dataset:
     """Checkpoint ``ds`` (atomic rename) and return the MATERIALIZED
     in-memory dataset: downstream stages consume object-store blocks
     (spilled to disk under pressure) instead of re-reading the parquet;
     the parquet copy exists for resume. A rerun that skips this stage
-    reads the parquet via ``read_stage``."""
+    reads the parquet via ``read_stage``.
+
+    ``async_write=True`` overlaps the parquet persistence (disk-
+    bandwidth-bound, CPU-count-independent — a pure serial term in the
+    N-vs-4N scaling profile) with downstream compute: the materialized
+    dataset returns immediately and a background thread writes the
+    checkpoint. The atomic-rename protocol is unchanged — the stage
+    directory appears only when the write completed — so a crash
+    mid-overlap just means this stage re-runs on resume. Callers MUST
+    ``flush_pending_checkpoints()`` before returning to the user or
+    reading the checkpoint path back."""
     t0 = time.time()
     tmp = stage_dir.rstrip("/") + ".tmp"
     if os.path.exists(tmp):
@@ -89,27 +119,55 @@ def write_stage(
             ).materialize()
     except Exception:
         pass
-    mat.write_parquet(tmp)
-    rows = _count_rows(tmp)
-    wall = time.time() - t0
-    with open(os.path.join(tmp, LINEAGE_FILE), "w") as f:
-        json.dump(
-            {
-                "stage": stage,
-                "config_hash": cfg_hash,
-                "inputs": inputs,
-                "rows": rows,
-                "complete": True,
-                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            },
-            f,
-            indent=2,
-        )
-    with open(os.path.join(tmp, METRICS_FILE), "w") as f:
-        json.dump({"wall_sec": wall, "rows": rows, **(extra_metrics or {})}, f, indent=2)
-    if os.path.exists(stage_dir):
-        shutil.rmtree(stage_dir)
-    os.replace(tmp, stage_dir)
+
+    def _persist() -> None:
+        mat.write_parquet(tmp)
+        rows = _count_rows(tmp)
+        wall = time.time() - t0
+        with open(os.path.join(tmp, LINEAGE_FILE), "w") as f:
+            json.dump(
+                {
+                    "stage": stage,
+                    "config_hash": cfg_hash,
+                    "inputs": inputs,
+                    "rows": rows,
+                    "complete": True,
+                    "completed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                },
+                f,
+                indent=2,
+            )
+        with open(os.path.join(tmp, METRICS_FILE), "w") as f:
+            json.dump(
+                {"wall_sec": wall, "rows": rows, **(extra_metrics or {})},
+                f,
+                indent=2,
+            )
+        if os.path.exists(stage_dir):
+            shutil.rmtree(stage_dir)
+        os.replace(tmp, stage_dir)
+
+    if not async_write:
+        _persist()
+        return mat
+
+    import threading
+
+    box: list = []
+
+    def _runner() -> None:
+        try:
+            _persist()
+        except BaseException as e:  # noqa: BLE001 — re-raised at flush
+            box.append(e)
+
+    t = threading.Thread(
+        target=_runner, name=f"ckpt-{stage}", daemon=True
+    )
+    t.start()
+    _PENDING_WRITES.append((t, box))
     return mat
 
 
