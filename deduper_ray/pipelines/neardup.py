@@ -45,7 +45,6 @@ from deduper_ray.state.lineage import (
     stage_is_complete,
     write_stage,
 )
-from deduper_ray.state.unionfind import cluster_edges
 
 # raw-pair-row count above which candidate resolution switches from the
 # driver collect to LATE DEDUP (patchable for tests)
@@ -156,6 +155,17 @@ def run_neardup(
     else:
         from deduper_ray.stages.lsh import collect_candidate_pairs
 
+        store_builder = None
+        if cfg.verify_mode != "exact" and cfg.verify_backend != "copartition":
+            # start the broadcast-store assembly NOW (driver background
+            # thread): it depends only on signatures, so its serial
+            # cost hides behind the candidate stage's cluster work
+            from deduper_ray.stages.verify import AsyncStoreBuilder
+
+            store_builder = AsyncStoreBuilder(
+                signatures, id_column=cfg.id_column
+            )
+
         lsh_input = signatures
         ident_edges: pa.Table | None = None
         if cfg.collapse_identical:
@@ -256,6 +266,7 @@ def run_neardup(
                     cfg.simhash_max_hamming if cfg.simhash_bits else None
                 ),
                 id_column=cfg.id_column,
+                prebuilt_store=store_builder,
             )
         if late_dedup:
             # cross-band duplicate pairs survived to scoring; a pair's
@@ -347,26 +358,9 @@ def run_neardup(
                 cfg_hash=chash, inputs=[pairs_dir],
             )
         else:
-            comp = cluster_edges(verified)  # {row_id: cluster_id}
-            if comp:
-                items = sorted(comp.items())
-                tbl = pa.table(
-                    {
-                        cfg.id_column: pa.array(
-                            [k for k, _ in items], type=pa.int64()
-                        ),
-                        "cluster_id": pa.array(
-                            [v for _, v in items], type=pa.int64()
-                        ),
-                    }
-                )
-            else:
-                tbl = pa.table(
-                    {
-                        cfg.id_column: pa.array([], type=pa.int64()),
-                        "cluster_id": pa.array([], type=pa.int64()),
-                    }
-                )
+            from deduper_ray.state.unionfind import cluster_edges_table
+
+            tbl = cluster_edges_table(verified, id_column=cfg.id_column)
             clusters_ds = write_stage(
                 rd.from_arrow(tbl), clusters_dir, stage="clusters",
                 cfg_hash=chash, inputs=[pairs_dir],

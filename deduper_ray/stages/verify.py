@@ -110,6 +110,49 @@ def collect_signature_store(
     )
 
 
+class AsyncStoreBuilder:
+    """Full-corpus broadcast signature store built on a driver
+    BACKGROUND thread, overlapped with the LSH candidate stage.
+
+    The store depends only on the signatures stage output, so its
+    driver-side assembly (concat + dense scatter of corpus × K × 4 B —
+    a CPU-count-independent serial term, ~4-8 s at 2×10^6 docs) can run
+    while the cluster executes the band-explode sort. ``verify_pairs``
+    joins via ``ref()`` when scoring starts; errors re-raise there.
+    ``signatures`` should be materialized (blocks already in the object
+    store) — the thread only fetches refs and scatters."""
+
+    def __init__(self, signatures: rd.Dataset, *, id_column: str = "row_id"):
+        import threading
+
+        self._box: list = []
+        self._ref: ray.ObjectRef | None = None
+
+        def _build() -> None:
+            try:
+                tbls = [
+                    t
+                    for t in ray.get(
+                        signatures.materialize().to_arrow_refs()
+                    )
+                    if t.num_columns > 0
+                ]
+                self._ref = ray.put(
+                    _store_from_table(pa.concat_tables(tbls), id_column)
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised in ref()
+                self._box.append(e)
+
+        self._t = threading.Thread(target=_build, name="sig-store", daemon=True)
+        self._t.start()
+
+    def ref(self) -> ray.ObjectRef:
+        self._t.join()
+        if self._box:
+            raise self._box[0]
+        return self._ref
+
+
 class PairVerifier:
     """map_batches over candidate pairs → verified pairs with scores.
 
@@ -219,11 +262,17 @@ def verify_pairs(
     threshold: float = 0.7,
     simhash_max_hamming: int | None = None,
     id_column: str = "row_id",
+    prebuilt_store: "AsyncStoreBuilder | ray.ObjectRef | None" = None,
 ) -> rd.Dataset:
     """Score candidate pairs and keep those passing EITHER the
     estimated-Jaccard threshold or (when enabled) the SimHash Hamming
     bound — the two verifiers catch different failure modes (Jaccard:
-    set overlap; SimHash: weighted bit agreement)."""
+    set overlap; SimHash: weighted bit agreement).
+
+    ``prebuilt_store``: a full-corpus broadcast store assembled ahead
+    of time (``AsyncStoreBuilder`` — overlapped with the candidate
+    stage — or a raw ``ray.put`` ref); skips the driver-side store
+    assembly that is otherwise this stage's serial floor."""
     import pyarrow.compute as pc
 
     from deduper_ray.functions.util import dataset_to_table
@@ -235,6 +284,16 @@ def verify_pairs(
                 ok, pc.less_equal(t["hamming"], simhash_max_hamming)
             )
         return t.filter(ok)
+
+    pre_ref: ray.ObjectRef | None = None
+    if prebuilt_store is not None:
+        # join the background assembly (it ran during the candidate
+        # stage; by scoring time it is usually already done)
+        pre_ref = (
+            prebuilt_store.ref()
+            if isinstance(prebuilt_store, AsyncStoreBuilder)
+            else prebuilt_store
+        )
 
     if isinstance(pairs, rd.Dataset) and "kind" not in pairs.schema().names:
         # Dataset-native large-pair path: pairs NEVER collect on the
@@ -253,14 +312,17 @@ def verify_pairs(
             # CPU-count-independent wall (N workers each concatenating
             # + scattering the 0.5 GB store saturates memory
             # bandwidth) — it was the verify stage's serial floor.
-            tbls = [
-                t
-                for t in ray.get(signatures.materialize().to_arrow_refs())
-                if t.num_columns > 0
-            ]
-            store_ref = ray.put(
-                _store_from_table(pa.concat_tables(tbls), id_column)
-            )
+            if pre_ref is not None:
+                store_ref = pre_ref
+            else:
+                tbls = [
+                    t
+                    for t in ray.get(signatures.materialize().to_arrow_refs())
+                    if t.num_columns > 0
+                ]
+                store_ref = ray.put(
+                    _store_from_table(pa.concat_tables(tbls), id_column)
+                )
 
             def _score_ds(batch: pa.Table) -> pa.Table:
                 key = store_ref.binary()
@@ -303,15 +365,20 @@ def verify_pairs(
                 }
             )
         )
-    cand_ids = np.unique(
-        np.concatenate(
-            [
-                pair_tbl["id_a"].to_numpy(zero_copy_only=False),
-                pair_tbl["id_b"].to_numpy(zero_copy_only=False),
-            ]
+    if pre_ref is None:
+        cand_ids = np.unique(
+            np.concatenate(
+                [
+                    pair_tbl["id_a"].to_numpy(zero_copy_only=False),
+                    pair_tbl["id_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
         )
-    )
-    store = build_signature_store(signatures, cand_ids, id_column=id_column)
+        store = build_signature_store(
+            signatures, cand_ids, id_column=id_column
+        )
+    else:
+        store = None  # full-corpus broadcast store already assembled
 
     # Small pair sets: score inline on the driver (one numpy op beats a
     # Ray dispatch). Large sets: the signature gather is
@@ -319,9 +386,9 @@ def verify_pairs(
     # as STATELESS tasks over the broadcast store — elastic CPU use,
     # store deserialized once per worker process via the cache.
     if pair_tbl.num_rows <= 1_000_000:
-        scored = PairVerifier(store)(pair_tbl)
+        scored = PairVerifier(pre_ref if store is None else store)(pair_tbl)
         return rd.from_arrow(_keep(scored))
-    store_ref = ray.put(store)
+    store_ref = pre_ref if store is None else ray.put(store)
 
     def _score(batch: pa.Table) -> pa.Table:
         key = store_ref.binary()

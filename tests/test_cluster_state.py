@@ -97,3 +97,41 @@ def test_label_propagation_long_chain_pointer_doubling():
     ds2 = rd.from_items([{"id_a": i, "id_b": i + 1} for i in range(n - 1)])
     with _pytest.raises(RuntimeError, match="did not converge"):
         label_propagation(ds2, max_rounds=2, num_partitions=4)
+
+
+def test_vectorized_components_match_unionfind():
+    """connected_components_arrays must equal the hash-map union-find
+    on an adversarial mix: chains (worst case for label hops), stars,
+    cliques, self-loops, duplicate edges, non-contiguous ids."""
+    import numpy as np
+
+    from deduper_ray.state.unionfind import (
+        UnionFind,
+        connected_components_arrays,
+    )
+
+    rng = np.random.RandomState(7)
+    edges = []
+    base = 0
+    for _ in range(20):  # chains of random length
+        ln = rng.randint(2, 40)
+        ids = base + np.arange(ln) * 3 + 1000  # stride → sparse ids
+        edges += list(zip(ids[:-1], ids[1:]))
+        base += ln * 3 + 10
+    hub = 10_000_000
+    edges += [(hub, hub + i * 7) for i in range(1, 50)]  # star
+    cl = 20_000_000 + np.arange(6)
+    edges += [(int(a), int(b)) for i, a in enumerate(cl) for b in cl[i + 1:]]
+    edges += [(5, 5), (1000, 1000)]  # self-loops
+    edges += edges[:15]  # duplicates
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    perm = rng.permutation(a.size)
+    a, b = a[perm], b[perm]
+
+    nodes, labels = connected_components_arrays(a, b)
+    uf = UnionFind()
+    uf.union_arrays(a, b)
+    expect = uf.components()
+    got = dict(zip(nodes.tolist(), labels.tolist()))
+    assert got == expect
