@@ -28,6 +28,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # north-rule corpus size (BASELINE.md §4: 10^5-10^6 rows, deterministic
 # synthetic code_files per FIXTURES.md F1; cached across runs/processes)
 BENCH_NDOCS = int(os.environ.get("BENCH_NDOCS", "100000"))
+# runs per pipeline (min taken): 2 damps this VM's CPU-steal noise;
+# BENCH_RUNS=1 for quick iterations
+BENCH_RUNS = max(1, int(os.environ.get("BENCH_RUNS", "2")))
 
 
 def _code_files_path() -> str:
@@ -143,15 +146,15 @@ def run_bench() -> dict:
         # time. Both runs are recorded under "runs".
         nd_runs = [
             _headline_neardup(os.path.join(out_root, f"nd{i}"))
-            for i in range(2)
+            for i in range(BENCH_RUNS)
         ]
         nd = min(nd_runs, key=lambda r: r["sec"])
         ed_runs = [
             _bench_exact_dedup(SF_DIR, os.path.join(out_root, f"ed{i}"))
-            for i in range(2)
+            for i in range(BENCH_RUNS)
         ]
         ed = min(ed_runs, key=lambda r: r["sec"])
-        qs_runs = [_bench_queries(SF_DIR), _bench_queries(SF_DIR)]
+        qs_runs = [_bench_queries(SF_DIR) for _ in range(BENCH_RUNS)]
         qs = {k: min(r[k] for r in qs_runs) for k in qs_runs[0]}
         headline = nd["sec"] + ed["sec"]
         result = {
@@ -212,7 +215,7 @@ def run_headline_only() -> dict:
         # min-of-2 (same CPU-steal-noise rationale as run_bench)
         runs = [
             _headline_neardup(os.path.join(out_root, f"nd{i}"))
-            for i in range(2)
+            for i in range(BENCH_RUNS)
         ]
         nd = min(runs, key=lambda r: r["sec"])
         return {
