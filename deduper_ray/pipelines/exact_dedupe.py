@@ -36,10 +36,10 @@ from deduper_ray.sources.readers import read_table
 from deduper_ray.stages.exact import (
     HASH_COL,
     ROW_ID,
-    DropFilter,
     drop_row_ids,
     dupe_group_details,
     group_stats,
+    make_drop_filter,
 )
 from deduper_ray.stages.seen import SEEN_FLAG, SeenHashMarker, load_seen_hashes, mark_not_seen
 
@@ -270,13 +270,11 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
             )
         else:
             drops_ref = ray.put(drop_row_ids(dupes_df))
+            # task-pool filter (stages/exact.py make_drop_filter): fuses
+            # anti-filter + projection + Write into one stage with no
+            # actor-startup latency on the critical path
             target = hashed.map_batches(
-                DropFilter,
-                fn_constructor_kwargs={"drops_ref": drops_ref},
-                batch_format="pyarrow",
-                concurrency=(1, 4),
-            ).map_batches(
-                lambda t: t.drop_columns([HASH_COL, SEEN_FLAG]),
+                make_drop_filter(drops_ref, drop_cols=[HASH_COL, SEEN_FLAG]),
                 batch_format="pyarrow",
             )
         with _sink_guard("target"):
@@ -425,10 +423,7 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                 )
 
             hashes_ds = hashed.map_batches(
-                DropFilter,
-                fn_constructor_kwargs={"drops_ref": drops_ref},
-                batch_format="pyarrow",
-                concurrency=(1, 4),
+                make_drop_filter(drops_ref), batch_format="pyarrow"
             ).map_batches(_hash_rows, batch_format="pyarrow")
         else:
             hashes_ds = stats.map_batches(

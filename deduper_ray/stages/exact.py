@@ -289,6 +289,40 @@ class DropFilter:
         return batch.filter(pa.array(keep))
 
 
+# single-slot per-worker-process cache for the broadcast drop set:
+# plasma ``ray.get`` of a local numpy array is already zero-copy, the
+# cache just skips the per-batch plasma round-trip. One job → one ref,
+# so a single slot suffices and cannot grow.
+_DROPS_SLOT: list = [None, None]  # [ref_hex, np.ndarray]
+
+
+def make_drop_filter(drops_ref: "ray.ObjectRef", *, drop_cols: list[str] | None = None):
+    """Stateless-task variant of :class:`DropFilter`.
+
+    A plain function for ``map_batches`` (task pool, not actor pool):
+    no actor startup on the critical path, no concurrency ceiling, and
+    Ray fuses it with the adjacent projection + Write into one task
+    stage. ``drop_cols`` are dropped in the same pass.
+    """
+
+    def _drop(batch: pa.Table) -> pa.Table:
+        key = drops_ref.hex()
+        if _DROPS_SLOT[0] != key:
+            _DROPS_SLOT[0] = key
+            _DROPS_SLOT[1] = ray.get(drops_ref)
+        drops: np.ndarray = _DROPS_SLOT[1]
+        if drops.size:
+            ids = batch[ROW_ID].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(drops, ids)
+            pos[pos >= drops.size] = drops.size - 1
+            batch = batch.filter(pa.array(drops[pos] != ids))
+        if drop_cols:
+            batch = batch.drop_columns([c for c in drop_cols if c in batch.column_names])
+        return batch
+
+    return _drop
+
+
 def dedupe_shuffle(hashed: rd.Dataset, *, hash_col: str = HASH_COL) -> rd.Dataset:
     """Alternative full-shuffle strategy: grouped first-wins over FULL
     rows. One wide all-to-all, zero driver state — the right choice when
