@@ -139,10 +139,15 @@ class NearDupConfig:
     # candidate blowup of exact-dup groups; members re-attach via
     # Jaccard-1.0 identity edges (stages/collapse.py)
     collapse_identical: bool = True
-    # "unionfind": single actor, O(clustered docs) state (default);
-    # "labelprop": fully distributed min-label propagation — the scale
-    # path when even the clustered-doc set exceeds one actor's heap
-    cluster_backend: str = "unionfind"
+    # "auto" (default): unionfind while the verified-edge count is
+    # ≤ cluster_edge_budget, labelprop above it — the default config
+    # never materializes an over-budget edge set on the driver;
+    # "unionfind": force the driver O(edges) vectorized components;
+    # "labelprop": force fully distributed min-label propagation
+    cluster_backend: str = "auto"
+    # verified-edge count above which "auto" routes clustering to the
+    # distributed labelprop backend (mirrors LATE_DEDUP_THRESHOLD)
+    cluster_edge_budget: int = 5_000_000
     # "broadcast": scoring workers hold the signature store (default);
     # "copartition": no-broadcast hash-partitioned join verification —
     # for corpora whose store exceeds worker heap (bit-identical scores,

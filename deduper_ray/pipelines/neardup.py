@@ -84,6 +84,30 @@ def run_neardup(
     resume: bool = True,
     containment: bool = False,
 ) -> NearDupResult:
+    # error-path finalizer: if the pipeline raises between an async
+    # write_stage and its flush, join the background writers NOW (errors
+    # discarded — the run is already failing) so no thread outlives the
+    # run to collide with a later run's .tmp or surface a stale error
+    # at an unrelated flush (state/lineage.py)
+    try:
+        return _run_neardup(
+            source, out_dir, cfg, resume=resume, containment=containment
+        )
+    except BaseException:
+        from deduper_ray.state.lineage import drain_pending_checkpoints
+
+        drain_pending_checkpoints()
+        raise
+
+
+def _run_neardup(
+    source: str | rd.Dataset,
+    out_dir: str,
+    cfg: NearDupConfig,
+    *,
+    resume: bool,
+    containment: bool,
+) -> NearDupResult:
     t_start = time.time()
     stage_sec: dict[str, float] = {}
     counters: dict[str, int] = {}
@@ -286,17 +310,43 @@ def run_neardup(
             else:
                 def _block_dedup(t: pa.Table) -> pa.Table:
                     if t.num_rows == 0:
-                        return t
+                        return t.append_column(
+                            "_edge", pa.array([], type=pa.int8())
+                        )
                     a = t["id_a"].to_numpy(zero_copy_only=False)
                     b = t["id_b"].to_numpy(zero_copy_only=False)
                     keep = np.ones(a.size, dtype=bool)
                     keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-                    return t.filter(pa.array(keep))
+                    t = t.filter(pa.array(keep))
+                    # flag the block's first+last surviving rows: a run
+                    # spanning a block boundary leaves one representative
+                    # on each side, both flagged here
+                    edge = np.zeros(t.num_rows, dtype=np.int8)
+                    edge[0] = 1
+                    edge[-1] = 1
+                    return t.append_column("_edge", pa.array(edge))
 
-                # ≤1 surviving duplicate per block boundary — harmless
-                # for union-find and bounded by #blocks in the count
-                scored = scored.sort(["id_a", "id_b"]).map_batches(
+                # sorted + per-block adjacent dedup, then driver-stitched
+                # block-boundary rows (≤2 per block) so the persisted
+                # pair set is EXACTLY distinct — same invariant as the
+                # ≤threshold collect path (stitch pattern of group_stats)
+                marked = scored.sort(["id_a", "id_b"]).map_batches(
                     _block_dedup, batch_format="pyarrow", batch_size=None
+                ).materialize()
+                interior = marked.map_batches(
+                    lambda t: t.filter(pc.equal(t["_edge"], 0))
+                    .drop_columns(["_edge"]),
+                    batch_format="pyarrow",
+                )
+                edge_df = marked.map_batches(
+                    lambda t: t.filter(pc.equal(t["_edge"], 1))
+                    .drop_columns(["_edge"]),
+                    batch_format="pyarrow",
+                ).to_pandas().drop_duplicates(["id_a", "id_b"])
+                scored = interior.union(
+                    rd.from_arrow(
+                        pa.Table.from_pandas(edge_df, preserve_index=False)
+                    )
                 )
         if ident_edges is not None and ident_edges.num_rows:
             # collapsed exact-dup members rejoin as Jaccard-1.0 edges
@@ -339,12 +389,21 @@ def run_neardup(
         verified = read_stage(pairs_dir)
 
     # ---- stage 3: union-find clustering -----------------------------
+    # "auto" routes on the measured edge volume: the driver O(edges)
+    # vectorized components below budget, distributed labelprop above —
+    # the default config never collects an over-budget edge set
+    # (VERDICT r2 item 2; same pattern as LATE_DEDUP_THRESHOLD)
+    cluster_backend = cfg.cluster_backend
+    if cluster_backend == "auto":
+        cluster_backend = (
+            "labelprop" if n_verified > cfg.cluster_edge_budget else "unionfind"
+        )
     clusters_dir = os.path.join(out_dir, "clusters")
     if resume and stage_is_complete(clusters_dir, chash):
         clusters_ds = read_stage(clusters_dir)
         skipped.append("clusters")
     else:
-        if cfg.cluster_backend == "labelprop":
+        if cluster_backend == "labelprop":
             from deduper_ray.state.unionfind import label_propagation
 
             lp = label_propagation(verified)
@@ -368,15 +427,35 @@ def run_neardup(
 
     flush_pending_checkpoints()
     stage_sec["cluster"] = round(time.time() - t_mark, 2)
-    cl = clusters_ds.to_pandas()
-    n_clusters = cl["cluster_id"].nunique() if len(cl) else 0
+    # distributed cluster counts (no driver materialization): both
+    # backends label a cluster with its MIN member id, so exactly one
+    # row per cluster has id == cluster_id — a vectorized per-block
+    # count + scalar sum replaces the former to_pandas() collect
+    id_col = cfg.id_column
+
+    def _count_roots(t: pa.Table) -> pa.Table:
+        roots = pc.sum(
+            pc.cast(pc.equal(t[id_col], t["cluster_id"]), pa.int64())
+        ).as_py() or 0
+        return pa.table(
+            {
+                "roots": pa.array([roots], type=pa.int64()),
+                "rows": pa.array([t.num_rows], type=pa.int64()),
+            }
+        )
+
+    counts = clusters_ds.map_batches(
+        _count_roots, batch_format="pyarrow"
+    ).to_pandas()
+    n_clusters = int(counts["roots"].sum()) if len(counts) else 0
+    n_clustered_docs = int(counts["rows"].sum()) if len(counts) else 0
     result = NearDupResult(
         out_dir=out_dir,
         n_docs=n_docs,
         n_candidate_pairs=n_cand,
         n_verified_pairs=n_verified,
         n_clusters=n_clusters,
-        n_clustered_docs=len(cl),
+        n_clustered_docs=n_clustered_docs,
         stages_skipped=skipped,
         wall_sec=time.time() - t_start,
         stage_sec=stage_sec,

@@ -88,23 +88,31 @@ def dedup_target_docs(sf_dir: str) -> pd.DataFrame:
             batch_format="pyarrow",
         )
     )
-    keep_map = dict(
-        zip(duped[HASH_COL].to_pylist(), duped["keep_id"].to_pylist())
+    # broadcast payload: duped hashes SORTED + their keeper ids aligned —
+    # the batch probe is then one np.searchsorted + vectorized compare,
+    # zero Python per row (VERDICT r2 item 3)
+    order = pc.sort_indices(duped[HASH_COL])
+    sorted_hashes = duped[HASH_COL].take(order).combine_chunks()
+    sorted_keep = duped["keep_id"].take(order).combine_chunks()
+    map_ref = ray.put(
+        {
+            "hashes": np.asarray(sorted_hashes),
+            "keep_id": sorted_keep.to_numpy(zero_copy_only=False),
+        }
     )
-    map_ref = ray.put({"set": pc.unique(duped[HASH_COL]), "map": keep_map})
 
     def _filter(t: pa.Table) -> pa.Table:
         m = ray.get(map_ref)
-        duped_mask = pc.is_in(
-            t[HASH_COL], value_set=m["set"]
-        ).to_numpy(zero_copy_only=False)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        keep = np.ones(len(ids), dtype=bool)
-        idx = np.nonzero(duped_mask)[0]
-        if idx.size:  # python loop bounded by DUPE rows in the batch
-            hashes = t[HASH_COL].take(pa.array(idx)).to_pylist()
-            for i, h in zip(idx, hashes):
-                keep[i] = ids[i] == m["map"][h]
+        dh: np.ndarray = m["hashes"]
+        keep = np.ones(t.num_rows, dtype=bool)
+        if dh.size:
+            batch_hashes = np.asarray(t[HASH_COL].combine_chunks())
+            pos = np.searchsorted(dh, batch_hashes)
+            pos_c = np.minimum(pos, dh.size - 1)
+            is_duped = dh[pos_c] == batch_hashes
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            # duped rows survive only as their group's keeper
+            keep[is_duped] = ids[is_duped] == m["keep_id"][pos_c[is_duped]]
         return t.filter(pa.array(keep)).drop_columns([HASH_COL])
 
     out = hashed.map_batches(_filter, batch_format="pyarrow").to_pandas()
@@ -979,7 +987,12 @@ def except_users_no_big_purchase(sf_dir: str) -> pd.DataFrame:
             pa.schema([("user_id", pa.int64())]),
         )
 
-    clicks = _filtered(lambda t: pc.greater_equal(t["user_id"], 0))
+    # true tautology for the EXCEPT left side (ALL rows — the oracle is
+    # an unconditional SELECT DISTINCT; a value predicate would silently
+    # drop out-of-range ids)
+    clicks = _filtered(
+        lambda t: pa.array(np.ones(t.num_rows, dtype=bool))
+    )
     buys = _filtered(
         lambda t: pc.and_(
             pc.equal(t["event_type"], "purchase"),

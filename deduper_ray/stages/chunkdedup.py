@@ -100,6 +100,21 @@ def chunk_dedupe(
     def _ordinal(t: pa.Table) -> pa.Table:
         ids = t[id_column].to_numpy(zero_copy_only=False)
         idx = t["chunk_idx"].to_numpy(zero_copy_only=False)
+        # composite-ordinal domain guard: outside these bounds the packed
+        # int64 aliases and first-occurrence picks WRONG keepers — raise
+        # instead of silently corrupting (docstring assumptions enforced)
+        if ids.size:
+            if ids.min() < 0 or ids.max() >= (1 << (63 - _IDX_BITS)):
+                raise ValueError(
+                    f"chunk dedup requires 0 <= {id_column} < 2^{63 - _IDX_BITS} "
+                    f"(got range [{ids.min()}, {ids.max()}])"
+                )
+            real_idx = idx[idx != _SENTINEL]
+            if real_idx.size and real_idx.max() >= (1 << _IDX_BITS):
+                raise ValueError(
+                    f"chunk dedup supports < 2^{_IDX_BITS} chunks per doc "
+                    f"(got chunk_idx {real_idx.max()})"
+                )
         return t.append_column(
             "_ord", pa.array((ids << _IDX_BITS) | (idx & ((1 << _IDX_BITS) - 1)))
         )

@@ -89,6 +89,10 @@ def decontaminate(
 
     ``keep_flag=None`` drops contaminated rows; a column name instead
     ANNOTATES rows with a bool keep marker (audit-sink friendly).
+
+    Empty benchmark grams are IGNORED (deliberate divergence from SQL
+    ``contains(text, '') = true``, which would mark every row
+    contaminated); null text never matches any gram.
     """
     grams = [g for g in benchmark_grams if g]
     if mode == "substring":
@@ -99,9 +103,12 @@ def decontaminate(
             contaminated = np.zeros(t.num_rows, dtype=bool)
             col = t[text_column]
             for g in gs:
-                contaminated |= pc.match_substring(col, g).to_numpy(
-                    zero_copy_only=False
-                )
+                # null text → not contaminated (fill_null keeps the mask
+                # a clean bool array; without it nulls propagate as None
+                # objects and the |= raises)
+                contaminated |= pc.fill_null(
+                    pc.match_substring(col, g), False
+                ).to_numpy(zero_copy_only=False)
             if keep_flag is not None:
                 return t.append_column(keep_flag, pa.array(~contaminated))
             return t.filter(pa.array(~contaminated))

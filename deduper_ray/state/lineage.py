@@ -50,23 +50,39 @@ def stage_is_complete(stage_dir: str, cfg_hash: str) -> bool:
     return lineage.get("config_hash") == cfg_hash and lineage.get("complete")
 
 
-# Background checkpoint writers started by write_stage(async_write=True).
-# flush_pending_checkpoints() joins them (and re-raises the first
-# failure); pipelines call it before declaring a run complete and
-# before READING any checkpoint directory back.
-_PENDING_WRITES: list = []
+# Background checkpoint writers started by write_stage(async_write=True),
+# keyed by stage_dir. flush_pending_checkpoints() joins them (and
+# re-raises the first failure); pipelines call it before declaring a run
+# complete and before READING any checkpoint directory back.
+# drain_pending_checkpoints() is the error-path finalizer: join without
+# raising, so a failed pipeline never leaks a live writer whose stale
+# error would surface at an unrelated later flush.
+_PENDING_WRITES: dict[str, tuple] = {}
 
 
 def flush_pending_checkpoints() -> None:
     global _PENDING_WRITES
-    pending, _PENDING_WRITES = _PENDING_WRITES, []
+    pending, _PENDING_WRITES = _PENDING_WRITES, {}
     err = None
-    for t, box in pending:
+    for t, box in pending.values():
         t.join()
         if box and err is None:
             err = box[0]
     if err is not None:
         raise err
+
+
+def drain_pending_checkpoints() -> None:
+    """Join every in-flight checkpoint writer, discarding errors.
+
+    For ``finally``/error paths: the run is already failing (or being
+    abandoned), so writer errors are irrelevant — what matters is that
+    no background thread outlives the run to fight a later run over the
+    same ``.tmp`` directory."""
+    global _PENDING_WRITES
+    pending, _PENDING_WRITES = _PENDING_WRITES, {}
+    for t, _box in pending.values():
+        t.join()
 
 
 def write_stage(
@@ -96,6 +112,14 @@ def write_stage(
     reading the checkpoint path back."""
     t0 = time.time()
     tmp = stage_dir.rstrip("/") + ".tmp"
+    # join any in-flight async writer for THIS stage_dir before touching
+    # its .tmp — otherwise rmtree yanks the directory out from under the
+    # old thread and its later os.replace could publish a mixed partial
+    # checkpoint marked complete. Its error (if any) is superseded by
+    # this rewrite.
+    prior = _PENDING_WRITES.pop(stage_dir, None)
+    if prior is not None:
+        prior[0].join()
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
@@ -167,7 +191,7 @@ def write_stage(
         target=_runner, name=f"ckpt-{stage}", daemon=True
     )
     t.start()
-    _PENDING_WRITES.append((t, box))
+    _PENDING_WRITES[stage_dir] = (t, box)
     return mat
 
 

@@ -40,6 +40,18 @@ def test_backends_reproduce_default_clusters(corpus, tmp_path_factory):
         corpus, tmp_path_factory, cluster_backend="labelprop"
     )
     assert labelprop == base
+    # auto-switch forced both ways: budget 0 → labelprop route,
+    # huge budget → unionfind route; both must match the default
+    auto_lp = _clusters(
+        corpus, tmp_path_factory,
+        cluster_backend="auto", cluster_edge_budget=0,
+    )
+    assert auto_lp == base
+    auto_uf = _clusters(
+        corpus, tmp_path_factory,
+        cluster_backend="auto", cluster_edge_budget=1 << 40,
+    )
+    assert auto_uf == base
 
 
 def test_late_dedup_path_matches_collect(tmp_path, monkeypatch):
