@@ -120,13 +120,12 @@ class NearDupConfig:
     max_pairs_per_bucket: int = 2000
     # count-then-salt skew guard: band buckets above this row count are
     # split into chained sub-buckets before the LSH sort (bounded runs,
-    # connectivity preserved — stages/lsh.py salt_hot_buckets). The
-    # pre-count is one extra narrow groupby pass (~fixed seconds of
-    # aggregate overhead on small sessions), so it is OPT-IN: enable
-    # (e.g. 65536) for boilerplate-heavy corpora where one band bucket
-    # can hold 10^5+ docs; None (default) leaves the per-bucket pair
-    # cap as the guard.
-    hot_bucket_threshold: int | None = None
+    # connectivity preserved — stages/lsh.py salt_hot_buckets).
+    # DEFAULT-ON (VERDICT r2 item 4): the pre-count is one narrow
+    # pre-aggregated groupby over int64 keys (measured within bench
+    # noise), and without it the only guard on a boilerplate-heavy
+    # corpus is the LOSSY per-bucket pair cap. None disables.
+    hot_bucket_threshold: int | None = 65536
     seed: int = 42
     batch_size: int = 256
     # actor-pool sizing; None → auto: (cpus//4, cpus-2). A pool pinned

@@ -200,10 +200,22 @@ def salt_hot_buckets(
     """Count-then-salt skew guard for pathological LSH bands
     (boilerplate corpora: one band bucket holding 10^5-10^6 docs).
 
-    1. COUNT: block-local ``np.unique`` pre-aggregation (shrinks the
-       count shuffle to distinct keys per block) → ``groupby.sum`` →
-       buckets with > hot_threshold rows collect to the driver (tiny:
-       the hot set, not the buckets).
+    1. COUNT — shuffle-free two-pass candidate scheme (a full
+       groupby over the ~n·bands distinct band keys measured 12 s at
+       2.1M rows; this is two narrow map passes, ~0.3 s):
+       a. per block, ``np.unique`` counts filtered to keys with local
+          count ≥ cutoff = max(2, hot_threshold // n_blocks); the tiny
+          survivor set collects to the driver. Pigeonhole: while
+          n_blocks ≤ hot_threshold, any key with total > hot_threshold
+          MUST exceed the cutoff in at least one block, so no hot key
+          is missed. Beyond that block count detection is
+          probabilistic (a g>threshold bucket evades only by landing
+          ≤cutoff-1 in every one of g⁺ blocks — vanishing for real
+          boilerplate skew) and the lossy-but-logged per-bucket pair
+          cap remains the residual guard.
+       b. exact totals for the candidate keys only: broadcast the
+          sorted candidate array, per-block searchsorted + bincount,
+          driver sums (O(candidates) driver state, not O(keys)).
     2. SALT: each row of a hot bucket re-keys to sub-bucket
        ``salt = row_id % S`` (S = ceil(g / hot_threshold)) and ALSO
        emits a chain copy into sub-bucket ``(salt+1) % S`` — sub-bucket
@@ -216,48 +228,70 @@ def salt_hot_buckets(
     through untouched; with no hot buckets the input is returned as-is.
     """
     import ray
-    from ray.data.aggregate import Sum
 
-    def _local_counts(t: pa.Table) -> pa.Table:
+    from deduper_ray.functions.util import dataset_to_table
+
+    n_blocks = max(1, exploded.num_blocks())
+    cutoff = max(2, hot_threshold // n_blocks)
+
+    def _local_hot(t: pa.Table) -> pa.Table:
         keys, counts = np.unique(
             t["band_key"].to_numpy(zero_copy_only=False),
             return_counts=True,
         )
+        m = counts >= cutoff
         return pa.table(
             {
-                "band_key": pa.array(keys, type=pa.int64()),
-                "n": pa.array(counts, type=pa.int64()),
+                "band_key": pa.array(keys[m], type=pa.int64()),
+                "n": pa.array(counts[m], type=pa.int64()),
             }
         )
 
-    counts = (
-        exploded.map_batches(_local_counts, batch_format="pyarrow")
-        .groupby("band_key")
-        .aggregate(Sum("n", alias_name="n"))
-    )
-    import pyarrow.compute as pc
-
-    from deduper_ray.functions.util import dataset_to_table
-
-    hot_tbl = dataset_to_table(
-        counts.map_batches(
-            lambda t: t.filter(pc.greater(t["n"], hot_threshold))
-            if t.num_columns
-            else t,
-            batch_format="pyarrow",
-        ),
+    cand_tbl = dataset_to_table(
+        exploded.map_batches(_local_hot, batch_format="pyarrow"),
         pa.schema([("band_key", pa.int64()), ("n", pa.int64())]),
     )
-    if hot_tbl.num_rows == 0:
+    if cand_tbl.num_rows == 0:
         return exploded, 0
-    hot_keys = hot_tbl["band_key"].to_numpy(zero_copy_only=False)
-    hot_sizes = hot_tbl["n"].to_numpy(zero_copy_only=False)
-    order = np.argsort(hot_keys)
+    cand_keys = np.unique(cand_tbl["band_key"].to_numpy(zero_copy_only=False))
+    cand_ref = ray.put(cand_keys)
+
+    def _exact_counts(t: pa.Table) -> pa.Table:
+        cand: np.ndarray = ray.get(cand_ref)
+        keys = t["band_key"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cand, keys)
+        pos_c = np.minimum(pos, cand.size - 1)
+        hit = cand[pos_c] == keys
+        counts = np.bincount(pos_c[hit], minlength=cand.size)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "idx": pa.array(nz, type=pa.int64()),
+                "n": pa.array(counts[nz], type=pa.int64()),
+            }
+        )
+
+    totals_tbl = dataset_to_table(
+        exploded.map_batches(_exact_counts, batch_format="pyarrow"),
+        pa.schema([("idx", pa.int64()), ("n", pa.int64())]),
+    )
+    totals = np.zeros(cand_keys.size, dtype=np.int64)
+    np.add.at(
+        totals,
+        totals_tbl["idx"].to_numpy(zero_copy_only=False),
+        totals_tbl["n"].to_numpy(zero_copy_only=False),
+    )
+    hot_mask = totals > hot_threshold
+    if not hot_mask.any():
+        return exploded, 0
+    hot_keys = cand_keys[hot_mask]  # already sorted (np.unique output)
+    hot_sizes = totals[hot_mask]
+    n_hot = int(hot_mask.sum())
     hot_ref = ray.put(
         {
-            "keys": hot_keys[order],
+            "keys": hot_keys,
             "salts": np.maximum(
-                2, -(-hot_sizes[order] // hot_threshold)
+                2, -(-hot_sizes // hot_threshold)
             ).astype(np.int64),
         }
     )
@@ -298,7 +332,7 @@ def salt_hot_buckets(
 
     return (
         exploded.map_batches(_salt, batch_format="pyarrow"),
-        hot_tbl.num_rows,
+        n_hot,
     )
 
 

@@ -111,6 +111,50 @@ def test_salting_bounds_buckets_and_preserves_clusters():
     assert len(cu) < n
 
 
+def test_default_pipeline_salts_boilerplate(tmp_path):
+    """The DEFAULT NearDupConfig (hot_bucket_threshold on) keeps the
+    one-boilerplate-string corpus fully connected through run_neardup:
+    salting (not the lossy pair cap) is the active guard, so all docs
+    land in ONE cluster even though the cap alone could never chain a
+    corpus-sized bucket."""
+    import pyarrow.parquet as pq
+
+    from deduper_ray.config import NearDupConfig
+    from deduper_ray.pipelines.neardup import run_neardup
+
+    n = 4000
+    base = (
+        "def main():\n    parser = argparse.ArgumentParser()\n"
+        "    parser.add_argument('--input')\n    args = parser.parse_args()\n"
+        * 4
+    )
+    src = str(tmp_path / "boiler.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "row_id": pa.array(range(n), type=pa.int64()),
+                "content": [base + f"# unique tail {i}\n" for i in range(n)],
+            }
+        ),
+        src,
+    )
+    cfg = NearDupConfig(
+        num_perms=64, bands=16, threshold=0.7,
+        max_pairs_per_bucket=500, hot_bucket_threshold=256,
+    )
+    assert NearDupConfig().hot_bucket_threshold is not None  # default ON
+    r = run_neardup(src, str(tmp_path / "out"), cfg, resume=False)
+    assert r.n_clusters == 1
+    assert r.n_clustered_docs == n
+    # same cfg with the guard disabled loses docs to the pair cap
+    off = NearDupConfig(
+        num_perms=64, bands=16, threshold=0.7,
+        max_pairs_per_bucket=500, hot_bucket_threshold=None,
+    )
+    r_off = run_neardup(src, str(tmp_path / "out_off"), off, resume=False)
+    assert r_off.n_clustered_docs < n
+
+
 def test_salting_noop_without_hot_buckets():
     import random
 
