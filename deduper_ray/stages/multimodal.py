@@ -2,11 +2,12 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata
 (mime, width/height/duration). The Ray-side plumbing — schema, actor
-pools, batch sizing, output layout — is real and tested; the actual
-codec work is STUBBED (pillow/ffmpeg are not in this container):
-``decoder="fake"`` produces deterministic features from the payload
-bytes, ``decoder="real"`` raises NotImplementedError at the exact
-point a codec library would be called.
+pools, batch sizing, output layout — is real and tested;
+``decoder="real"`` is IMPORT-GUARDED: it uses pillow (images) /
+ffmpeg (video) when they are importable and raises NotImplementedError
+with a clear message otherwise (neither is in this container, so the
+real-path tests are skip-marked here and ``decoder="fake"`` — a
+deterministic payload-derived stand-in — covers the plumbing).
 
 Scale notes baked into the defaults: media rows are large, so the
 stages use SMALL batch sizes (32) and ``batch_format="pyarrow"``
@@ -17,9 +18,35 @@ them as Python bytes objects).
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
+
+
+def _try_import_pil():
+    """PIL.Image or None — resolved once per process."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _find_ffmpeg() -> str | None:
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+def _require_real(component, name: str):
+    if component is None:
+        raise NotImplementedError(
+            f"decoder='real' requires {name}, which is not available in "
+            "this environment; use decoder='fake' for plumbing tests"
+        )
+    return component
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -38,11 +65,12 @@ DEFAULT_MEDIA_BATCH_SIZE = 32  # large binary rows → small batches
 class ImageFeatureExtractor:
     """Actor-pool stage: payload bytes → fixed-dim feature vector.
 
-    __init__ is where a real model/codec would load ONCE per actor.
+    __init__ is where the codec loads ONCE per actor.
     ``decoder="fake"``: deterministic pseudo-features = normalized
     sha256-seeded vector (stable across runs, suitable for testing the
-    plumbing + downstream ANN). ``decoder="real"``: NotImplementedError
-    until an image library is available.
+    plumbing + downstream ANN). ``decoder="real"``: pillow decode →
+    grayscale thumbnail → normalized pixel vector of length ``dim``;
+    raises NotImplementedError only when pillow is not importable.
     """
 
     def __init__(self, *, dim: int = 64, decoder: str = "fake"):
@@ -50,13 +78,20 @@ class ImageFeatureExtractor:
         self.decoder = decoder
         if decoder not in ("fake", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        if decoder == "real":
+            self._pil = _require_real(_try_import_pil(), "pillow")
+            # square thumbnail whose pixel count covers dim
+            self._side = int(np.ceil(np.sqrt(dim)))
 
     def _features(self, payload: bytes) -> np.ndarray:
         if self.decoder == "real":
-            raise NotImplementedError(
-                "real image decode requires pillow/opencv — not in this "
-                "container; plug the codec call here"
-            )
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((self._side, self._side))
+            px = np.asarray(img, dtype=np.float64).reshape(-1)[: self.dim]
+            if px.size < self.dim:
+                px = np.pad(px, (0, self.dim - px.size))
+            norm = np.linalg.norm(px)
+            return px / norm if norm else px
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
         rng = np.random.RandomState(seed % (2**32))
         v = rng.standard_normal(self.dim)
@@ -81,20 +116,36 @@ class ImageFeatureExtractor:
 
 
 class ImageResizer:
-    """Actor-pool stage: resize plumbing — emits updated metadata and a
-    (stub-)transformed payload. Fake mode passes payload through and
-    rewrites meta_width/meta_height; real mode raises at the codec
-    boundary."""
+    """Actor-pool stage: resize — emits updated metadata and the
+    transformed payload. Fake mode passes payload through and rewrites
+    meta_width/meta_height; real mode decodes with pillow, resizes,
+    and re-encodes PNG (raises only when pillow is unavailable)."""
 
     def __init__(self, *, width: int, height: int, decoder: str = "fake"):
         self.width = width
         self.height = height
         self.decoder = decoder
+        if decoder == "real":
+            self._pil = _require_real(_try_import_pil(), "pillow")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            raise NotImplementedError("real resize requires an image codec")
         n = batch.num_rows
+        if self.decoder == "real":
+            payloads = batch["payload"]
+            if isinstance(payloads, pa.ChunkedArray):
+                payloads = payloads.combine_chunks()
+            out = []
+            for p in payloads.to_pylist():
+                img = self._pil.open(io.BytesIO(p or b""))
+                img = img.resize((self.width, self.height))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                out.append(buf.getvalue())
+            batch = batch.set_column(
+                batch.column_names.index("payload"),
+                "payload",
+                pa.array(out, type=pa.large_binary()),
+            )
         batch = batch.set_column(
             batch.column_names.index("meta_width"),
             "meta_width",
@@ -108,18 +159,65 @@ class ImageResizer:
 
 
 class FrameSampler:
-    """Actor-pool stage: video payload → k evenly-spaced 'frames'
-    (stub: deterministic byte slices standing in for decoded frames).
-    Emits one row per (media_id, frame_idx) — a flat_map-shaped
-    explosion done vectorized inside map_batches."""
+    """Actor-pool stage: video payload → k evenly-spaced 'frames'.
+    Fake mode: deterministic byte slices standing in for decoded
+    frames. Real mode: ffmpeg subprocess extracts k JPEG frames
+    (raises only when no ffmpeg binary is on PATH). Emits one row per
+    (media_id, frame_idx) — a flat_map-shaped explosion done
+    vectorized inside map_batches."""
 
     def __init__(self, *, num_frames: int = 4, decoder: str = "fake"):
         self.num_frames = num_frames
         self.decoder = decoder
+        if decoder == "real":
+            self._ffmpeg = _require_real(_find_ffmpeg(), "ffmpeg on PATH")
+
+    def _real_frames(self, payload: bytes) -> list[bytes]:
+        """One ffmpeg invocation per media row: decode the first k
+        frames to JPEG files in a scratch dir. Runs inside the actor —
+        parallelism comes from the pool, not from ffmpeg threads."""
+        import os
+        import subprocess
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            src = os.path.join(d, "in.bin")
+            with open(src, "wb") as f:
+                f.write(payload)
+            pattern = os.path.join(d, "f%04d.jpg")
+            subprocess.run(
+                [
+                    self._ffmpeg, "-y", "-loglevel", "error", "-i", src,
+                    "-frames:v", str(self.num_frames), pattern,
+                ],
+                check=True, capture_output=True,
+            )
+            out = []
+            for i in range(1, self.num_frames + 1):
+                p = os.path.join(d, f"f{i:04d}.jpg")
+                out.append(open(p, "rb").read() if os.path.exists(p) else b"")
+            return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decoder == "real":
-            raise NotImplementedError("real frame decode requires ffmpeg")
+            ids, idxs, frames = [], [], []
+            payloads = batch["payload"]
+            if isinstance(payloads, pa.ChunkedArray):
+                payloads = payloads.combine_chunks()
+            for mid, p in zip(
+                batch["media_id"].to_pylist(), payloads.to_pylist()
+            ):
+                for f, frame in enumerate(self._real_frames(p or b"")):
+                    ids.append(mid)
+                    idxs.append(f)
+                    frames.append(frame)
+            return pa.table(
+                {
+                    "media_id": pa.array(ids, type=pa.int64()),
+                    "frame_idx": pa.array(idxs, type=pa.int32()),
+                    "frame": pa.array(frames, type=pa.large_binary()),
+                }
+            )
         ids, idxs, frames = [], [], []
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):

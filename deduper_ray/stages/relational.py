@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -103,22 +104,25 @@ def top_k(
     descending: list[bool] | bool = True,
 ) -> pa.Table:
     """Global top-k without a global sort: per-block partial top-k
-    (vectorized pandas nsmallest/nlargest-equivalent via sort_values
-    head), then a driver merge over ≤ #blocks × k rows."""
+    (Arrow-native ``pc.sort_indices`` + head-k ``take`` — zero-copy
+    blocks, no pandas round-trip), then a driver merge over
+    ≤ #blocks × k rows."""
     if isinstance(descending, bool):
         descending = [descending] * len(sort_keys)
-    ascending = [not d for d in descending]
+    spec = [
+        (c, "descending" if d else "ascending")
+        for c, d in zip(sort_keys, descending)
+    ]
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values(sort_keys, ascending=ascending).head(k)
+    def _partial(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=spec)
+        return batch.take(order.slice(0, k))
 
     from deduper_ray.functions.util import dataset_to_table
 
-    cand = dataset_to_table(
-        ds.map_batches(_partial, batch_format="pandas")
-    ).to_pandas()
-    out = cand.sort_values(sort_keys, ascending=ascending).head(k)
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    cand = dataset_to_table(ds.map_batches(_partial, batch_format="pyarrow"))
+    order = pc.sort_indices(cand, sort_keys=spec)
+    return cand.take(order.slice(0, k)).combine_chunks()
 
 
 def asof_join(
@@ -284,34 +288,43 @@ def grouped_top_k(
     descending: list[bool] | bool = True,
 ) -> pa.Table:
     """Top-k rows PER GROUP without a global shuffle: each block keeps
-    its local per-group top-k (vectorized pandas groupby head), the
-    driver merges ≤ #blocks × #groups-in-block × k rows. Right for
-    few-to-moderate group counts (per-language/per-source selections);
-    for millions of groups use a sort on (group, keys) + run scan."""
+    its local per-group top-k (Arrow-native sort + vectorized run-rank
+    scan — no pandas round-trip), the driver merges ≤ #blocks ×
+    #groups-in-block × k rows. Right for few-to-moderate group counts
+    (per-language/per-source selections); for millions of groups use a
+    sort on (group, keys) + run scan."""
     if isinstance(descending, bool):
         descending = [descending] * len(sort_keys)
-    ascending = [not d for d in descending]
+    spec = [(g, "ascending") for g in group_keys] + [
+        (c, "descending" if d else "ascending")
+        for c, d in zip(sort_keys, descending)
+    ]
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return (
-            batch.sort_values(sort_keys, ascending=ascending)
-            .groupby(group_keys, sort=False)
-            .head(k)
-        )
+    def _group_head(batch: pa.Table) -> pa.Table:
+        """Sort by (groups, keys), then keep each group run's first k
+        rows via a vectorized within-run rank."""
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        t = batch.take(pc.sort_indices(batch, sort_keys=spec))
+        change = np.zeros(max(n - 1, 0), dtype=bool)
+        for g in group_keys:
+            col = t[g].combine_chunks()
+            neq = pc.fill_null(
+                pc.not_equal(col.slice(1), col.slice(0, n - 1)), True
+            )
+            change |= neq.to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.nonzero(change)[0] + 1))
+        lens = np.diff(np.concatenate((starts, [n])))
+        rank = np.arange(n) - np.repeat(starts, lens)
+        return t.filter(pa.array(rank < k))
 
     from deduper_ray.functions.util import dataset_to_table
 
     cand = dataset_to_table(
-        ds.map_batches(_partial, batch_format="pandas")
-    ).to_pandas()
-    out = (
-        cand.sort_values(sort_keys, ascending=ascending)
-        .groupby(group_keys, sort=False)
-        .head(k)
-        .sort_values(group_keys + sort_keys, ascending=[True] * len(group_keys) + ascending)
-        .reset_index(drop=True)
-    )
-    return pa.Table.from_pandas(out, preserve_index=False)
+        ds.map_batches(_group_head, batch_format="pyarrow")
+    ).combine_chunks()
+    return _group_head(cand).combine_chunks()
 
 
 def distinct(ds: rd.Dataset, columns: list[str]) -> rd.Dataset:
