@@ -20,12 +20,18 @@ Source URLs: ``sqlite:///abs/path.db?table=NAME`` or
   the query an ORDER BY for reproducible ordinals.
 - Sinks: auto-DDL from the Arrow schema (the reference generates
   vendor DDL from ResultSet metadata), then batched INSERTs. sqlite
-  permits exactly ONE writer per database file, so sinks drain the
-  Dataset stream on the driver via ``iter_batches`` — the upstream
-  compute stays distributed, only the final INSERT serializes.
-  For cluster-scale SQL targets, partition the Dataset and give each
-  partition its own database/connection (the standard JDBC fan-out);
-  the parquet sinks remain the scale path.
+  permits exactly ONE writer per database file, so the single-db sink
+  drains the Dataset stream on the driver via ``iter_batches`` — the
+  upstream compute stays distributed, only the final INSERT
+  serializes. ``write_sqlite_sharded`` is the cluster-scale form:
+  one database per shard, written in parallel (the standard JDBC
+  fan-out); the parquet sinks remain the scale path.
+
+Beyond sqlite: ``read_sql`` takes any picklable DB-API 2.0 connection
+factory (reference: any-JDBC via SourceJndi, config/Config.kt:19-24)
+with the same deterministic-ordinal contract; free-form ``?query=``
+sources with a trailing ``ORDER BY <unique col>`` read as parallel
+keyset ranges instead of one task.
 """
 
 from __future__ import annotations
@@ -97,7 +103,15 @@ def read_sqlite(
     proj = ", ".join(columns) if columns else "*"
 
     if query is not None:
-        # free-form query: one forward scan, ordinals = result order
+        ds = _read_query_keyset(
+            db_path, query, columns=columns, row_id_column=row_id_column
+        )
+        if ds is not None:
+            return ds
+
+        # free-form query without a keyset handle: one forward scan,
+        # ordinals = result order (reference semantics: forward-only
+        # cursor, Deduper.kt:164)
         def _read_query(_: pa.Table) -> pa.Table:
             with _connect_ro(db_path) as conn:
                 cur = conn.execute(query)
@@ -149,6 +163,234 @@ def read_sqlite(
     plan = rd.from_items(slices, override_num_blocks=len(slices))
     return plan.map_batches(
         _read_slice, batch_format="pyarrow", batch_size=1, num_cpus=0.99
+    )
+
+
+def _read_query_keyset(
+    db_path: str,
+    query: str,
+    *,
+    columns: list[str] | None,
+    row_id_column: str | None,
+) -> rd.Dataset | None:
+    """Parallel keyset-paginated read of a ``?query=`` source.
+
+    Applies when the query's trailing clause is ``ORDER BY <col>``
+    (ascending) on a UNIQUE column: one serial pass streams ONLY the
+    key column to find a boundary key every ``_SLICE_ROWS`` rows (and
+    the exact slice counts → exact global ordinals), then each slice
+    reads its key range as an independent distributed task. Returns
+    None (→ caller falls back to the single-task scan) when the query
+    has no such handle, the key type isn't orderable-by-range, or
+    duplicate keys straddle a boundary (uniqueness violated — range
+    predicates would miscount).
+
+    Same result + ordinals as the single-task path; the serial cost
+    drops from a full-row scan to a key-column scan.
+    """
+    import re
+
+    m = re.search(
+        r"order\s+by\s+([A-Za-z_]\w*)\s*(?:asc)?\s*;?\s*$", query, re.I
+    )
+    if not m:
+        return None
+    key = m.group(1)
+    q = query.rstrip().rstrip(";")
+
+    boundaries: list = []  # last key of each slice
+    counts: list[int] = []
+    prev_last = None
+    try:
+        with _connect_ro(db_path) as conn:
+            cur = conn.execute(f"SELECT {key} FROM ({q}) _q")
+            while True:
+                chunk = cur.fetchmany(_SLICE_ROWS)
+                if not chunk:
+                    break
+                first, last = chunk[0][0], chunk[-1][0]
+                if first is None or not isinstance(
+                    first, (int, float, str)
+                ):
+                    return None
+                if prev_last is not None and not (prev_last < first):
+                    return None  # duplicate/non-increasing across boundary
+                boundaries.append(last)
+                counts.append(len(chunk))
+                prev_last = last
+    except sqlite3.Error:
+        return None
+    if len(boundaries) <= 1:
+        return None  # one slice — single-task path is already optimal
+
+    offsets = np.concatenate(([0], np.cumsum(counts[:-1]))).tolist()
+    tasks = [
+        {
+            "lo": boundaries[i - 1] if i else None,
+            "hi": boundaries[i],
+            "offset": offsets[i],
+        }
+        for i in range(len(boundaries))
+    ]
+
+    def _read_range(batch: pa.Table) -> pa.Table:
+        tables = []
+        with _connect_ro(db_path) as conn:
+            for task in batch.to_pylist():
+                if task["lo"] is None:
+                    cur = conn.execute(
+                        f"SELECT * FROM ({q}) _q WHERE _q.{key} <= ? "
+                        f"ORDER BY _q.{key}",
+                        (task["hi"],),
+                    )
+                else:
+                    cur = conn.execute(
+                        f"SELECT * FROM ({q}) _q WHERE _q.{key} > ? "
+                        f"AND _q.{key} <= ? ORDER BY _q.{key}",
+                        (task["lo"], task["hi"]),
+                    )
+                cols = [d[0] for d in cur.description]
+                rows = cur.fetchall()
+                if columns:
+                    keep = [cols.index(c) for c in columns]
+                    rows = [tuple(r[k] for k in keep) for r in rows]
+                    cols = list(columns)
+                tables.append(
+                    _rows_to_table(
+                        rows, cols,
+                        task["offset"] if row_id_column else None,
+                        row_id_column or ROW_ID,
+                    )
+                )
+        return pa.concat_tables(tables)
+
+    plan = rd.from_items(tasks, override_num_blocks=len(tasks))
+    return plan.map_batches(
+        _read_range, batch_format="pyarrow", batch_size=1, num_cpus=0.99
+    )
+
+
+def read_sql(
+    conn_factory,
+    query: str,
+    *,
+    partition_column: str | None = None,
+    bounds: tuple[int, int] | None = None,
+    num_partitions: int = 16,
+    row_id_column: str | None = ROW_ID,
+) -> rd.Dataset:
+    """Generic SQL source over any DB-API 2.0 connection factory.
+
+    The reference accepts any JDBC driver through its JNDI indirection
+    (config/Config.kt:19-24, Deduper.kt:160-166); this is the Ray-side
+    equivalent: ``conn_factory`` is a PICKLABLE zero-arg callable (a
+    top-level function or ``functools.partial``) returning a fresh
+    DB-API connection — sqlite3, psycopg2, mysql-connector, duckdb…
+    Each read task opens its own connection via the factory.
+
+    Deterministic-ordinal contract (same as the parquet/sqlite
+    readers): with ``partition_column`` (an integer-typed UNIQUE
+    column) and ``bounds=(lo, hi)`` inclusive, the key space splits
+    into ``num_partitions`` ranges; a driver metadata pass COUNTs each
+    range once to fix exact global offsets, then every range reads in
+    parallel ordered by the partition column. Without
+    ``partition_column`` the query runs as ONE forward scan and
+    ordinals follow result order (give the query an ORDER BY for
+    reproducibility).
+    """
+    q = query.rstrip().rstrip(";")
+
+    if partition_column is None:
+        def _read_all(_: pa.Table) -> pa.Table:
+            conn = conn_factory()
+            try:
+                cur = conn.cursor()
+                cur.execute(q)
+                cols = [d[0] for d in cur.description]
+                rows = cur.fetchall()
+            finally:
+                conn.close()
+            return _rows_to_table(
+                rows, cols, 0 if row_id_column else None,
+                row_id_column or ROW_ID,
+            )
+
+        plan = rd.from_items([{"task": 0}], override_num_blocks=1)
+        return plan.map_batches(
+            _read_all, batch_format="pyarrow", batch_size=1
+        )
+
+    if bounds is None:
+        conn = conn_factory()
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                f"SELECT min({partition_column}), max({partition_column}) "
+                f"FROM ({q}) _q"
+            )
+            lo, hi = cur.fetchone()
+        finally:
+            conn.close()
+        if lo is None:
+            return rd.from_items([], override_num_blocks=1)
+        bounds = (int(lo), int(hi))
+
+    lo, hi = bounds
+    span = hi - lo + 1
+    n_parts = max(1, min(num_partitions, span))
+    edges = [lo + (span * i) // n_parts for i in range(n_parts)] + [hi + 1]
+
+    # metadata pass: exact per-range counts → exact global offsets
+    # (bounds are integers inlined into the SQL — no paramstyle
+    # dependence across DB-API drivers)
+    conn = conn_factory()
+    try:
+        cur = conn.cursor()
+        range_counts = []
+        for i in range(n_parts):
+            cur.execute(
+                f"SELECT count(*) FROM ({q}) _q WHERE "
+                f"_q.{partition_column} >= {edges[i]} AND "
+                f"_q.{partition_column} < {edges[i + 1]}"
+            )
+            range_counts.append(int(cur.fetchone()[0]))
+    finally:
+        conn.close()
+    offsets = np.concatenate(([0], np.cumsum(range_counts[:-1]))).tolist()
+    tasks = [
+        {"lo": edges[i], "hi": edges[i + 1], "offset": offsets[i]}
+        for i in range(n_parts)
+        if range_counts[i]
+    ] or [{"lo": lo, "hi": lo, "offset": 0}]
+
+    def _read_range(batch: pa.Table) -> pa.Table:
+        tables = []
+        conn = conn_factory()
+        try:
+            cur = conn.cursor()
+            for task in batch.to_pylist():
+                cur.execute(
+                    f"SELECT * FROM ({q}) _q WHERE "
+                    f"_q.{partition_column} >= {task['lo']} AND "
+                    f"_q.{partition_column} < {task['hi']} "
+                    f"ORDER BY _q.{partition_column}"
+                )
+                cols = [d[0] for d in cur.description]
+                rows = cur.fetchall()
+                tables.append(
+                    _rows_to_table(
+                        rows, cols,
+                        task["offset"] if row_id_column else None,
+                        row_id_column or ROW_ID,
+                    )
+                )
+        finally:
+            conn.close()
+        return pa.concat_tables(tables)
+
+    plan = rd.from_items(tasks, override_num_blocks=len(tasks))
+    return plan.map_batches(
+        _read_range, batch_format="pyarrow", batch_size=1, num_cpus=0.99
     )
 
 
@@ -227,6 +469,54 @@ def write_sqlite_table(
             written += len(rows)
         conn.commit()
     return written
+
+
+def write_sqlite_sharded(
+    ds: rd.Dataset,
+    out_dir: str,
+    table: str,
+    *,
+    num_shards: int | None = None,
+) -> int:
+    """Per-partition SQL sink fan-out: shard ``ds`` across
+    ``part-{i:05d}.db`` sqlite files under ``out_dir``, written IN
+    PARALLEL (one Ray task per shard, each owning its own database —
+    the standard JDBC fan-out pattern; sqlite's one-writer-per-file
+    rule holds per shard). Returns total rows written; shards carry
+    the same auto-DDL ``table`` and reconcile to the input count.
+    """
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    mat = ds.materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+    ]
+    if num_shards is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_shards = max(1, min(len(refs) or 1, cpus))
+    num_shards = max(1, min(num_shards, len(refs) or 1))
+    groups: list[list] = [[] for _ in range(num_shards)]
+    for i, ref in enumerate(refs):
+        groups[i % num_shards].append(ref)
+
+    @ray.remote
+    def _write_shard(idx: int, block_refs: list) -> int:
+        blocks = [b for b in ray.get(list(block_refs)) if b.num_rows]
+        path = os.path.join(out_dir, f"part-{idx:05d}.db")
+        if os.path.exists(path):
+            os.remove(path)
+        if not blocks:
+            return 0
+        tbl = pa.concat_tables(blocks)
+        return write_sqlite_table(tbl, path, table)
+
+    totals = ray.get(
+        [_write_shard.remote(i, g) for i, g in enumerate(groups)]
+    )
+    return int(sum(totals))
 
 
 def write_sqlite_dupes(dupes: pa.Table | rd.Dataset, db_path: str,

@@ -159,3 +159,88 @@ def test_parse_sqlite_url():
     assert parse_sqlite_url("sqlite:///tmp/x.db") == ("/tmp/x.db", None, None)
     with pytest.raises(ValueError):
         parse_sqlite_url("sqlite:///tmp/x.db?table=t&query=SELECT 1")
+
+
+def test_keyset_query_parallel_matches_single_task(re_db, monkeypatch):
+    """r3: a ?query= source ending in ORDER BY <unique col> reads as
+    parallel keyset ranges; ordinals + rows identical to the
+    single-task scan."""
+    import pandas as pd
+
+    import deduper_ray.sources.sql_io as sio
+
+    url = (
+        f"sqlite://{re_db}?query=SELECT street, city, rowid AS rid "
+        f"FROM real_estate ORDER BY rid"
+    )
+    # default slice size ≫ 986 rows → keyset declines → single task
+    single = read_sqlite(url).to_pandas()
+    assert len(single) == 986
+    monkeypatch.setattr(sio, "_SLICE_ROWS", 100)
+    keyset = read_sqlite(url).to_pandas()
+    pd.testing.assert_frame_equal(
+        single.sort_values("row_id").reset_index(drop=True),
+        keyset.sort_values("row_id").reset_index(drop=True),
+    )
+    # non-unique ordering column straddling boundaries → safe fallback
+    url_dup = (
+        f"sqlite://{re_db}?query=SELECT street, city FROM real_estate "
+        f"ORDER BY city"
+    )
+    dup = read_sqlite(url_dup).to_pandas()
+    assert len(dup) == 986
+
+
+def test_read_sql_factory_matches_url_path(re_db):
+    """r3: generic DB-API connection-factory source (read_sql) produces
+    the same rows+ordinals as the sqlite-url table path."""
+    import functools
+
+    import pandas as pd
+
+    from deduper_ray.sources.sql_io import read_sql
+
+    factory = functools.partial(sqlite3.connect, re_db)
+    url_df = (
+        read_sqlite(f"sqlite://{re_db}?table=real_estate")
+        .to_pandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    fac_df = (
+        read_sql(
+            factory,
+            "SELECT *, rowid AS _rid FROM real_estate",
+            partition_column="_rid",
+            num_partitions=7,
+        )
+        .to_pandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        url_df, fac_df.drop(columns=["_rid"]), check_dtype=False
+    )
+    # single-scan form (no partition column)
+    one = read_sql(factory, "SELECT street FROM real_estate").to_pandas()
+    assert len(one) == 986
+
+
+def test_write_sqlite_sharded_reconciles(re_db, tmp_path):
+    """r3: per-partition SQL sink fan-out — shard row counts sum to the
+    input count and every shard carries the auto-DDL table."""
+    from deduper_ray.sources.sql_io import write_sqlite_sharded
+
+    ds = read_sqlite(f"sqlite://{re_db}?table=real_estate")
+    out = os.path.join(tmp_path, "shards")
+    total = write_sqlite_sharded(ds, out, "re", num_shards=4)
+    assert total == 986
+    shard_files = sorted(
+        f for f in os.listdir(out) if f.endswith(".db")
+    )
+    assert 1 <= len(shard_files) <= 4
+    acc = 0
+    for f in shard_files:
+        with sqlite3.connect(os.path.join(out, f)) as conn:
+            acc += conn.execute("SELECT count(*) FROM re").fetchone()[0]
+    assert acc == 986
