@@ -412,11 +412,19 @@ def _sqlite_type(t: pa.DataType) -> str:
 
 
 def _ddl(table: str, schema: pa.Schema, *, primary_key: str | None = None,
-         not_null: bool = False) -> str:
+         not_null: bool = False, varchar_padding: int | None = None) -> str:
+    """``varchar_padding`` mirrors the reference's JNDIType option
+    (jndi/JNDIType.kt:39-44, Persistors.kt:277): string columns render
+    as ``VARCHAR(n)`` instead of TEXT. sqlite ignores declared widths
+    (type affinity), so this is DDL-cosmetic parity for engines that
+    honor them."""
     cols = []
     for f in schema:
         null = " NOT NULL" if not_null and f.name != "json_row" else ""
-        cols.append(f"{f.name} {_sqlite_type(f.type)}{null}")
+        sq = _sqlite_type(f.type)
+        if sq == "TEXT" and varchar_padding:
+            sq = f"VARCHAR({varchar_padding})"
+        cols.append(f"{f.name} {sq}{null}")
     if primary_key:
         cols.append(f"PRIMARY KEY ({primary_key})")
     return f"CREATE TABLE {table} ({', '.join(cols)})"
@@ -430,6 +438,7 @@ def write_sqlite_table(
     delete_if_exists: bool = True,
     primary_key: str | None = None,
     batch_size: int = 65536,
+    varchar_padding: int | None = None,
 ) -> int:
     """Auto-DDL + batched INSERT sink (reference SqlTargetPersistor
     semantics: createTarget then addBatch/executeBatch per block).
@@ -449,7 +458,12 @@ def write_sqlite_table(
     with sqlite3.connect(db_path, timeout=60.0) as conn:
         if delete_if_exists:
             conn.execute(f"DROP TABLE IF EXISTS {table}")
-        conn.execute(_ddl(table, arrow_schema, primary_key=primary_key))
+        conn.execute(
+            _ddl(
+                table, arrow_schema, primary_key=primary_key,
+                varchar_padding=varchar_padding,
+            )
+        )
         if isinstance(ds, pa.Table):
             batches = ds.to_batches(max_chunksize=batch_size)
         else:

@@ -244,3 +244,18 @@ def test_write_sqlite_sharded_reconciles(re_db, tmp_path):
         with sqlite3.connect(os.path.join(out, f)) as conn:
             acc += conn.execute("SELECT count(*) FROM re").fetchone()[0]
     assert acc == 986
+
+
+def test_varchar_padding_ddl(tmp_path):
+    """r3: varcharPadding DDL parity (jndi/JNDIType.kt:39-44) — string
+    columns render as VARCHAR(n); sqlite stores/returns them fine."""
+    db = os.path.join(tmp_path, "pad.db")
+    tbl = pa.table({"name": ["a", "bb"], "n": [1, 2]})
+    n = write_sqlite_table(tbl, db, "t", varchar_padding=25)
+    assert n == 2
+    with sqlite3.connect(db) as conn:
+        ddl = conn.execute(
+            "SELECT sql FROM sqlite_master WHERE name='t'"
+        ).fetchone()[0]
+        assert "VARCHAR(25)" in ddl
+        assert conn.execute("SELECT count(*) FROM t").fetchone()[0] == 2
