@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quantiles (value-histogram combiner)
         "pii_redact_docs": q.pii_redact_docs,
         "top_tokens_docs": q.top_tokens_docs,
+        "top_tokens_mg_docs": q.top_tokens_mg_docs,
+        "quantiles_float_events": q.quantiles_float_events,
         "stratified_sample_docs": q.stratified_sample_docs,
         "quantiles_orders_priority": q.quantiles_orders_priority,
         # benchmark decontamination + chunk-level (paragraph-shaped)
@@ -481,6 +483,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE token <> ''
             GROUP BY token ORDER BY cnt DESC, token LIMIT 25
+        """,
+        "top_tokens_mg_docs": """
+            SELECT token, count(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ) WHERE token <> ''
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 25
+        """,
+        "quantiles_float_events": """
+            SELECT event_type, count(*) AS n,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS q50,
+                   percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS q95,
+                   percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS q99
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "stratified_sample_docs": """
             SELECT doc_id, text, lang, source, n_chars FROM documents

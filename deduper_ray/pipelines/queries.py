@@ -770,6 +770,40 @@ def top_tokens_docs(sf_dir: str) -> pd.DataFrame:
     return token_heavy_hitters(ds, text_column="text", k=25).to_pandas()
 
 
+def top_tokens_mg_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus heavy hitters via the Misra-Gries bounded-state path
+    (stages/relational.py token_heavy_hitters_mg): per-block MG
+    summaries + exact candidate recount. Same answer as the exact
+    combiner whenever the k-th count clears the n/capacity bound —
+    true at every SF for this corpus, so the oracle is the same SQL."""
+    from deduper_ray.stages.relational import token_heavy_hitters_mg
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return token_heavy_hitters_mg(
+        ds, text_column="text", k=25, capacity=4096
+    ).to_pandas()
+
+
+def quantiles_float_events(sf_dir: str) -> pd.DataFrame:
+    """Exact per-event-type quantiles over the REAL-VALUED ``value``
+    column via iterative range refinement (stages/relational.py
+    grouped_quantiles_binned) — the float-domain upgrade of the
+    value-histogram combiner. max_enumeration is set low so the sf0.01
+    oracle run exercises the refinement rounds, not just the final
+    enumeration."""
+    from deduper_ray.stages.relational import grouped_quantiles_binned
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    out = grouped_quantiles_binned(
+        ds, key="event_type", value_col="value",
+        quantiles=[0.5, 0.95, 0.99],
+        num_bins=64, max_enumeration=50,
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Deterministic per-language stratified sample: every 7th doc per
     lang in doc_id order (stages/relational.py stratified_sample, built

@@ -378,6 +378,111 @@ def token_heavy_hitters(
     return out.select(["token", "cnt"])
 
 
+def token_heavy_hitters_mg(
+    ds: rd.Dataset,
+    *,
+    text_column: str = "text",
+    k: int = 20,
+    split: str = " ",
+    capacity: int = 4096,
+) -> pa.Table:
+    """Top-k tokens with BOUNDED state at unbounded vocabularies —
+    the Misra-Gries upgrade of :func:`token_heavy_hitters` (whose
+    per-batch vocabulary combiner still shuffles one row per distinct
+    token; fine for language-sized vocabularies, unbounded for
+    e.g. URL/id-like token domains).
+
+    Two passes, both narrow:
+      1. per-block Misra-Gries summaries of ``capacity`` counters
+         (exact block counts compressed by subtracting the
+         (capacity+1)-th largest — the classic mergeable-summary
+         form), merged + re-compressed on the driver. Any token with
+         true count > n/capacity is guaranteed to survive the merge;
+         driver state is O(capacity), never O(vocabulary).
+      2. exact recount of the surviving candidates only (broadcast
+         membership filter + per-block counts), so the RETURNED counts
+         are exact. Result equals the exact top-k whenever the true
+         k-th count exceeds n/capacity (one undercount bound per
+         merge level); ties break (count desc, token asc).
+    """
+    def _mg_compress(tokens: np.ndarray, counts: np.ndarray, cap: int):
+        if tokens.size <= cap:
+            return tokens, counts
+        # subtract the (cap+1)-th largest count; drop non-positive
+        kth = np.partition(counts, -cap - 1)[-cap - 1]
+        keep = counts > kth
+        return tokens[keep], counts[keep] - kth
+
+    def _block_summary(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t[text_column], split))
+        toks = pc.drop_null(toks)
+        arr = toks.to_numpy(zero_copy_only=False)
+        arr = arr[arr != ""]
+        tokens, counts = np.unique(arr, return_counts=True)
+        tokens, counts = _mg_compress(tokens, counts, capacity)
+        return pa.table(
+            {
+                "token": pa.array(tokens, type=pa.string()),
+                "cnt": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    merged = dataset_to_table(
+        ds.map_batches(_block_summary, batch_format="pyarrow")
+    )
+    if merged.num_rows == 0:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    tdf = merged.to_pandas().groupby("token", sort=False)["cnt"].sum()
+    tokens, counts = _mg_compress(
+        tdf.index.to_numpy(), tdf.to_numpy(), capacity
+    )
+    # candidates: over-select beyond k to absorb summary undercounts
+    order = np.argsort(-counts, kind="stable")[: max(4 * k, 64)]
+    cand = np.sort(tokens[order])
+    cand_ref = ray.put(cand)
+
+    def _recount(t: pa.Table) -> pa.Table:
+        c: np.ndarray = _fetch_broadcast(cand_ref)
+        toks = pc.list_flatten(pc.split_pattern(t[text_column], split))
+        arr = pc.drop_null(toks).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(c, arr)
+        pos_c = np.minimum(pos, c.size - 1)
+        hit = c[pos_c] == arr
+        counts = np.bincount(pos_c[hit], minlength=c.size)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "idx": pa.array(nz, type=pa.int64()),
+                "cnt": pa.array(counts[nz], type=pa.int64()),
+            }
+        )
+
+    parts = dataset_to_table(
+        ds.map_batches(_recount, batch_format="pyarrow"),
+        pa.schema([("idx", pa.int64()), ("cnt", pa.int64())]),
+    )
+    exact = np.zeros(cand.size, dtype=np.int64)
+    np.add.at(
+        exact,
+        parts["idx"].to_numpy(zero_copy_only=False),
+        parts["cnt"].to_numpy(zero_copy_only=False),
+    )
+    out = pa.table(
+        {
+            "token": pa.array(cand, type=pa.string()),
+            "cnt": pa.array(exact, type=pa.int64()),
+        }
+    )
+    order = pc.sort_indices(
+        out, sort_keys=[("cnt", "descending"), ("token", "ascending")]
+    )
+    return out.take(order.slice(0, k))
+
+
 def grouped_row_number(
     ds: rd.Dataset,
     *,
@@ -551,6 +656,223 @@ def grouped_quantiles(
             ]
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+def grouped_quantiles_binned(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    value_col: str,
+    quantiles: list[float],
+    num_bins: int = 1024,
+    max_enumeration: int = 65536,
+    max_rounds: int = 16,
+) -> pd.DataFrame:
+    """Exact per-group discrete quantiles (``percentile_disc``) for
+    REAL-VALUED columns — the binning upgrade of
+    :func:`grouped_quantiles`, whose value-histogram shuffle is bounded
+    only for integer-like domains (distinct float values ≈ rows).
+
+    Iterative range refinement (the standard distributed exact-quantile
+    scheme): per (key, quantile) target keep an active interval
+    [lo, hi] + residual rank; each round one narrow map pass histograms
+    every active target's interval into ``num_bins`` bins (counts
+    summed on the driver), the target descends into the bin containing
+    its residual rank — interval mass shrinks ~num_bins× per round
+    (10^12 rows resolve in ~4 rounds). When a target's interval mass
+    ≤ ``max_enumeration`` its values are gathered and selected exactly.
+    Driver state: O(#keys × #quantiles × num_bins) counts per round —
+    never value-cardinality. Returns (key, n, q<pct>...) like
+    ``grouped_quantiles``.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    narrow = ds.map_batches(
+        lambda t: t.select([key, value_col]), batch_format="pyarrow"
+    ).materialize()
+    from deduper_ray.functions.util import dataset_to_table
+
+    gs = dataset_to_table(
+        narrow.groupby(key).aggregate(
+            Min(value_col, alias_name="_lo"),
+            Max(value_col, alias_name="_hi"),
+            Count(alias_name="_n"),
+        )
+    ).to_pandas().sort_values(key)
+
+    # One target per (key, quantile): residual rank within the active
+    # half-open interval [lo, hi) (hi inclusive only while the target
+    # still owns the group's global max — flag hi_incl). Membership and
+    # binning both use DRIVER-COMPUTED edge arrays shipped to workers,
+    # so float-boundary decisions are bit-identical everywhere.
+    targets = []
+    for _, r in gs.iterrows():
+        for q in quantiles:
+            pos = max(1, int(np.ceil(q * r["_n"])))
+            targets.append(
+                {
+                    "key": r[key], "q": q, "lo": float(r["_lo"]),
+                    "hi": float(r["_hi"]), "hi_incl": True, "rank": pos,
+                    "mass": int(r["_n"]), "value": None,
+                }
+            )
+
+    def _interval_spec(ts: list[dict], with_edges: bool):
+        spec = {
+            "keys": np.array([t["key"] for t in ts]),
+            "lo": np.array([t["lo"] for t in ts], dtype=np.float64),
+            "hi": np.array([t["hi"] for t in ts], dtype=np.float64),
+            "hi_incl": np.array([t["hi_incl"] for t in ts], dtype=bool),
+        }
+        if with_edges:
+            spec["edges"] = np.stack(
+                [
+                    t["lo"]
+                    + (t["hi"] - t["lo"])
+                    * np.arange(num_bins + 1, dtype=np.float64)
+                    / num_bins
+                    for t in ts
+                ]
+            )
+        return ray.put(spec)
+
+    def _select(s, i, kv, vv):
+        """Values of target i's key inside its active interval."""
+        v = vv[kv == s["keys"][i]]
+        if s["hi_incl"][i]:
+            return v[(v >= s["lo"][i]) & (v <= s["hi"][i])]
+        return v[(v >= s["lo"][i]) & (v < s["hi"][i])]
+
+    def _hist_pass(active: list[dict]) -> np.ndarray:
+        spec = _interval_spec(active, with_edges=True)
+
+        def _block_hist(t: pa.Table) -> pa.Table:
+            s = _fetch_broadcast(spec)
+            kv = t[key].to_numpy(zero_copy_only=False)
+            vv = t[value_col].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            rows_i, rows_b, rows_c = [], [], []
+            for i in range(s["keys"].size):
+                v = _select(s, i, kv, vv)
+                if v.size == 0:
+                    continue
+                # bin = searchsorted over the SHARED edges: exactly
+                # consistent with the next round's [edge_b, edge_b+1)
+                # membership filter
+                b = np.searchsorted(s["edges"][i], v, side="right") - 1
+                np.clip(b, 0, num_bins - 1, out=b)
+                bins, cnts = np.unique(b, return_counts=True)
+                rows_i.append(np.full(bins.size, i, dtype=np.int64))
+                rows_b.append(bins)
+                rows_c.append(cnts.astype(np.int64))
+            if not rows_i:
+                return pa.table(
+                    {
+                        "i": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "i": pa.array(np.concatenate(rows_i)),
+                    "b": pa.array(np.concatenate(rows_b)),
+                    "c": pa.array(np.concatenate(rows_c)),
+                }
+            )
+
+        parts = dataset_to_table(
+            narrow.map_batches(_block_hist, batch_format="pyarrow"),
+            pa.schema([("i", pa.int64()), ("b", pa.int64()), ("c", pa.int64())]),
+        )
+        hist = np.zeros((len(active), num_bins), dtype=np.int64)
+        np.add.at(
+            hist,
+            (
+                parts["i"].to_numpy(zero_copy_only=False),
+                parts["b"].to_numpy(zero_copy_only=False),
+            ),
+            parts["c"].to_numpy(zero_copy_only=False),
+        )
+        return hist
+
+    for _ in range(max_rounds):
+        active = [
+            t for t in targets
+            if t["value"] is None and t["mass"] > max_enumeration
+        ]
+        if not active:
+            break
+        hist = _hist_pass(active)
+        for i, t in enumerate(active):
+            edges = (
+                t["lo"]
+                + (t["hi"] - t["lo"])
+                * np.arange(num_bins + 1, dtype=np.float64)
+                / num_bins
+            )
+            cum = np.cumsum(hist[i])
+            b = int(np.searchsorted(cum, t["rank"], side="left"))
+            below = int(cum[b - 1]) if b else 0
+            t["rank"] -= below
+            new_mass = int(hist[i][b])
+            t["hi_incl"] = bool(t["hi_incl"] and b == num_bins - 1)
+            t["lo"], t["hi"] = float(edges[b]), float(edges[b + 1])
+            if b == num_bins - 1:
+                t["hi"] = float(edges[num_bins])
+            if new_mass == t["mass"] and t["hi"] == t["lo"]:
+                # fully degenerate interval (all values identical)
+                t["value"] = t["lo"]
+            t["mass"] = new_mass
+
+    # final exact enumeration for every unresolved target
+    pending = [t for t in targets if t["value"] is None]
+    if pending:
+        spec = _interval_spec(pending, with_edges=False)
+
+        def _gather(t: pa.Table) -> pa.Table:
+            s = _fetch_broadcast(spec)
+            kv = t[key].to_numpy(zero_copy_only=False)
+            vv = t[value_col].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            out_i, out_v = [], []
+            for i in range(s["keys"].size):
+                v = _select(s, i, kv, vv)
+                if v.size:
+                    out_i.append(np.full(v.size, i, dtype=np.int64))
+                    out_v.append(v)
+            if not out_i:
+                return pa.table(
+                    {"i": pa.array([], pa.int64()),
+                     "v": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "i": pa.array(np.concatenate(out_i)),
+                    "v": pa.array(np.concatenate(out_v)),
+                }
+            )
+
+        vals = dataset_to_table(
+            narrow.map_batches(_gather, batch_format="pyarrow"),
+            pa.schema([("i", pa.int64()), ("v", pa.float64())]),
+        ).to_pandas()
+        for i, t in enumerate(pending):
+            v = np.sort(vals.loc[vals["i"] == i, "v"].to_numpy())
+            t["value"] = float(v[t["rank"] - 1]) if v.size else t["lo"]
+
+    rows = {}
+    n_by_key = dict(zip(gs[key], gs["_n"].astype(int)))
+    for t in targets:
+        row = rows.setdefault(
+            t["key"], {key: t["key"], "n": n_by_key[t["key"]]}
+        )
+        row[f"q{int(round(t['q'] * 100))}"] = t["value"]
+    return pd.DataFrame(list(rows.values())).sort_values(key).reset_index(
+        drop=True
+    )
 
 
 def _grouped_row_number_bucketed(

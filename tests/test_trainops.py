@@ -261,3 +261,71 @@ def test_grouped_row_number_bucket_backend_equivalence():
     expect = df2.sort_values(["k", "o"]).reset_index(drop=True)
     expect["rn"] = expect.groupby("k").cumcount() + 1
     pd.testing.assert_frame_equal(c[["k", "o", "p", "rn"]], expect)
+
+
+def test_misra_gries_matches_exact_heavy_hitters():
+    """r3: MG bounded-state path equals the exact combiner on a skewed
+    corpus, including under a small capacity (heavy tokens clear the
+    n/capacity bound; recount makes returned counts exact)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduper_ray.stages.relational import (
+        token_heavy_hitters,
+        token_heavy_hitters_mg,
+    )
+
+    rng = np.random.RandomState(5)
+    # zipf-ish: heavy tokens h0..h9, long tail t0..t9999
+    texts = []
+    for i in range(2000):
+        toks = [f"h{j}" for j in range(10) for _ in range(10 - j)] + [
+            f"t{rng.randint(10000)}" for _ in range(20)
+        ]
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(8)
+    exact = token_heavy_hitters(ds, text_column="text", k=10).to_pylist()
+    mg = token_heavy_hitters_mg(
+        ds, text_column="text", k=10, capacity=256
+    ).to_pylist()
+    assert mg == exact
+
+
+def test_grouped_quantiles_binned_exact_floats():
+    """r3: iterative-binning quantiles equal a local percentile_disc
+    over float values, with max_enumeration small enough to force
+    several refinement rounds."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduper_ray.stages.relational import grouped_quantiles_binned
+
+    rng = np.random.RandomState(11)
+    n = 30000
+    keys = rng.choice(["a", "b", "c"], n)
+    vals = np.where(
+        keys == "a", rng.standard_normal(n) * 10,
+        rng.exponential(5.0, n),
+    )
+    # duplicates + an all-identical group exercise degenerate intervals
+    keys = np.concatenate([keys, np.full(500, "d")])
+    vals = np.concatenate([vals, np.full(500, 3.25)])
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ).repartition(6)
+    out = grouped_quantiles_binned(
+        ds, key="k", value_col="v", quantiles=[0.5, 0.9],
+        num_bins=16, max_enumeration=40, max_rounds=32,
+    ).set_index("k")
+    df = pd.DataFrame({"k": keys, "v": vals})
+    for kk, g in df.groupby("k"):
+        v = np.sort(g["v"].to_numpy())
+        nn = len(v)
+        assert out.loc[kk, "n"] == nn
+        for q, col in ((0.5, "q50"), (0.9, "q90")):
+            expect = v[max(1, int(np.ceil(q * nn))) - 1]
+            assert out.loc[kk, col] == expect, (kk, col)
