@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_docs": q.pii_redact_docs,
         "top_tokens_docs": q.top_tokens_docs,
         "top_tokens_mg_docs": q.top_tokens_mg_docs,
+        "curate_docs": q.curate_docs,
         "quantiles_float_events": q.quantiles_float_events,
         "stratified_sample_docs": q.stratified_sample_docs,
         "quantiles_orders_priority": q.quantiles_orders_priority,
@@ -483,6 +484,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE token <> ''
             GROUP BY token ORDER BY cnt DESC, token LIMIT 25
+        """,
+        "curate_docs": r"""
+            WITH scored AS (
+                SELECT doc_id, text, lang,
+                       length(text) AS n_chars_q,
+                       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                       len(regexp_extract_all(text,
+                           '\b(the|and|of|to|is|in|that|it|for|with)\b'))
+                           AS n_stop
+                FROM documents
+            ), gated AS (
+                SELECT doc_id, text, lang FROM scored
+                WHERE n_chars_q >= 50 AND 2 * n_alpha >= n_chars_q
+                  AND n_stop >= 1
+            ), deduped AS (
+                SELECT doc_id, text, lang FROM gated
+                QUALIFY row_number() OVER (
+                    PARTITION BY text ORDER BY doc_id) = 1
+            )
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens
+            FROM deduped ORDER BY doc_id
         """,
         "top_tokens_mg_docs": """
             SELECT token, count(*) AS cnt FROM (

@@ -770,6 +770,76 @@ def top_tokens_docs(sf_dir: str) -> pd.DataFrame:
     return token_heavy_hitters(ds, text_column="text", k=25).to_pandas()
 
 
+def curate_docs(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation composition — the pipeline a training-data
+    user actually runs: quality gate (length / alpha-ratio / stopword
+    floor) → exact dedup on text (first-occurrence by doc_id, broadcast
+    keeper filter) → token-count annotation. Every stage streams; the
+    only driver state is the duped-group keeper map (bounded by dupe
+    volume). Output: (doc_id, lang, n_tokens) of surviving docs."""
+    from deduper_ray.functions.text import add_quality_scores, add_token_count
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+
+    def _gate(t: pa.Table) -> pa.Table:
+        t = add_quality_scores(t)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["n_chars_q"], 50),
+                pc.greater_equal(
+                    pc.multiply(t["n_alpha"], 2), t["n_chars_q"]
+                ),
+            ),
+            pc.greater_equal(t["n_stopwords"], 1),
+        )
+        return t.filter(keep).select(["doc_id", "text", "lang"])
+
+    gated = ds.map_batches(_gate, batch_format="pyarrow").map_batches(
+        lambda t: add_hash_columns(t, ("text",), hash_col=HASH_COL),
+        batch_format="pyarrow",
+    ).materialize()
+
+    stats = gated.groupby(HASH_COL).aggregate(
+        Min("doc_id", alias_name="keep_id"),
+        Count(alias_name="n_rows"),
+    )
+    duped = dataset_to_table(
+        stats.map_batches(
+            lambda t: t.filter(pc.greater(t["n_rows"], 1)).select(
+                [HASH_COL, "keep_id"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    order = pc.sort_indices(duped[HASH_COL])
+    map_ref = ray.put(
+        {
+            "hashes": np.asarray(duped[HASH_COL].take(order).combine_chunks()),
+            "keep_id": duped["keep_id"].take(order).combine_chunks()
+            .to_numpy(zero_copy_only=False),
+        }
+    )
+
+    def _keep_first(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        dh: np.ndarray = m["hashes"]
+        keep = np.ones(t.num_rows, dtype=bool)
+        if dh.size:
+            bh = np.asarray(t[HASH_COL].combine_chunks())
+            pos = np.minimum(np.searchsorted(dh, bh), dh.size - 1)
+            is_duped = dh[pos] == bh
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep[is_duped] = ids[is_duped] == m["keep_id"][pos[is_duped]]
+        t = t.filter(pa.array(keep))
+        t = add_token_count(t)
+        return t.select(["doc_id", "lang", "n_tokens"])
+
+    out = gated.map_batches(_keep_first, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def top_tokens_mg_docs(sf_dir: str) -> pd.DataFrame:
     """Corpus heavy hitters via the Misra-Gries bounded-state path
     (stages/relational.py token_heavy_hitters_mg): per-block MG
