@@ -33,9 +33,10 @@ MERSENNE31 = np.uint64((1 << 31) - 1)
 _ROLL_MULT = np.uint64(1099511628211)  # FNV-ish odd multiplier
 
 
-def shingle_hashes(data: bytes, k: int) -> np.ndarray:
+def shingle_hashes(data: bytes | memoryview, k: int) -> np.ndarray:
     """Unique 64-bit rolling hashes of all k-byte shingles, vectorized:
-    k shifted multiply-adds over the byte array (no per-shingle loop)."""
+    k shifted multiply-adds over the byte array (no per-shingle loop).
+    Accepts any buffer (bytes / memoryview) — zero-copy in."""
     b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     n = b.size
     if n == 0:
@@ -190,8 +191,13 @@ class MinHashSigner:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column].to_pylist()
-        n = len(texts)
+        from deduper_ray.functions.hashing import _utf8_slices
+
+        # zero-copy doc bytes straight off the Arrow value buffer — no
+        # per-doc str materialization / re-encode (Arrow strings ARE
+        # UTF-8; np.frombuffer accepts the memoryview slices directly)
+        offsets, buf = _utf8_slices(batch[self.text_column])
+        n = len(offsets) - 1
         sigs = np.empty((n, self.K), dtype=np.uint64)
         simhashes = np.empty(n, dtype=np.uint64)
         n_shingles = np.empty(n, dtype=np.int64)
@@ -201,10 +207,12 @@ class MinHashSigner:
         # SimHash bit-sums run as reduceat passes over the whole batch
         # instead of per-doc Python calls (~2.5× over the naive loop)
         shingle_list = []
-        for i, t in enumerate(texts):
-            data = (t or "").encode("utf-8", "surrogatepass")
+        for i, (a, b) in enumerate(zip(offsets, offsets[1:])):
+            data = buf[a:b]
             if self.token_pattern is not None:
-                sh = token_shingle_hashes(data, self.k, self.token_pattern)
+                sh = token_shingle_hashes(
+                    bytes(data), self.k, self.token_pattern
+                )
             else:
                 sh = shingle_hashes(data, self.k)
             shingle_list.append(sh)

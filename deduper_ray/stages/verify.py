@@ -440,12 +440,18 @@ class ShingleSetBuilder:
             self.token_pattern = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column].to_pylist()
+        from deduper_ray.functions.hashing import _utf8_slices
+
+        # zero-copy doc bytes off the Arrow value buffer (same trick as
+        # MinHashSigner — no per-doc str/encode round-trip)
+        offs, buf = _utf8_slices(batch[self.text_column])
         arrays = []
-        for t in texts:
-            data = (t or "").encode("utf-8", "surrogatepass")
+        for a, b in zip(offs, offs[1:]):
+            data = buf[a:b]
             if self.token_pattern is not None:
-                sh = self._token_shingle(data, self.k, self.token_pattern)
+                sh = self._token_shingle(
+                    bytes(data), self.k, self.token_pattern
+                )
             else:
                 sh = self._shingle(data, self.k)
             arrays.append(np.sort(sh))
