@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_docs": q.top_tokens_docs,
         "top_tokens_mg_docs": q.top_tokens_mg_docs,
         "curate_docs": q.curate_docs,
+        "unigram_logprob_docs": q.unigram_logprob_docs,
         "quantiles_float_events": q.quantiles_float_events,
         "stratified_sample_docs": q.stratified_sample_docs,
         "quantiles_orders_priority": q.quantiles_orders_priority,
@@ -484,6 +485,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE token <> ''
             GROUP BY token ORDER BY cnt DESC, token LIMIT 25
+        """,
+        "unigram_logprob_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT token, count(*) AS cnt FROM toks
+                WHERE token <> '' GROUP BY token
+            ), tot AS (SELECT sum(cnt) AS n FROM tf),
+            lm AS (
+                SELECT token,
+                       CAST(round(log10(cnt / (SELECT n FROM tot))
+                                  * 1000000) AS BIGINT) AS micro
+                FROM tf
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(lm.micro), 0) AS BIGINT)
+                       AS logprob_micro,
+                   count(lm.token) AS n_tokens_lm
+            FROM documents d
+            LEFT JOIN toks ON toks.doc_id = d.doc_id AND toks.token <> ''
+            LEFT JOIN lm ON lm.token = toks.token
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "curate_docs": r"""
             WITH scored AS (

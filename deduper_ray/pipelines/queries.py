@@ -840,6 +840,74 @@ def curate_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def unigram_logprob_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus-trained unigram LM scoring — the perplexity-style quality
+    signal without external models: pass 1 builds the corpus token
+    distribution (per-batch vocabulary combiner → groupby-sum), the
+    (token → count) table broadcasts once, pass 2 scores each doc with
+    the MICRO-int sum of its tokens' log-probabilities.
+
+    Float determinism: each token's log10 p is rounded to integer
+    MICRO units (1e-6) BEFORE summing, so per-doc totals are exact
+    int64 sums — order-independent and bit-comparable to the SQL
+    oracle (same protocol as the fixed-decimal aggregates)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).materialize()
+
+    def _tok_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(t["text"], " ")
+        )
+        tbl = pa.table({"token": pc.drop_null(toks)})
+        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))
+        return pa.TableGroupBy(tbl, "token").aggregate([("token", "count")])
+
+    counts = dataset_to_table(
+        ds.map_batches(_tok_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("token_count", alias_name="cnt"))
+    )
+    tokens = np.asarray(counts["token"].combine_chunks())
+    cnt = counts["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = cnt.sum()
+    order = np.argsort(tokens)
+    # integer micro-units of log10 p — the broadcast scoring table
+    micro = np.round(np.log10(cnt / total) * 1_000_000).astype(np.int64)
+    lm_ref = ray.put({"tokens": tokens[order], "micro": micro[order]})
+
+    def _score(t: pa.Table) -> pa.Table:
+        lm = ray.get(lm_ref)
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        sizes = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        nonempty = flat != ""
+        pos = np.searchsorted(lm["tokens"], flat)
+        pos = np.minimum(pos, lm["tokens"].size - 1)
+        # every non-empty token is in the corpus vocabulary by
+        # construction (the LM was trained on this corpus)
+        vals = np.where(nonempty, lm["micro"][pos], 0)
+        seg = np.zeros(len(sizes), dtype=np.int64)
+        np.cumsum(sizes[:-1], out=seg[1:])
+        doc_idx = np.repeat(np.arange(len(sizes)), sizes)
+        sums = np.zeros(len(sizes), dtype=np.int64)
+        np.add.at(sums, doc_idx, vals)
+        n_tok = np.zeros(len(sizes), dtype=np.int64)
+        np.add.at(n_tok, doc_idx, nonempty.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "logprob_micro": pa.array(sums, type=pa.int64()),
+                "n_tokens_lm": pa.array(n_tok, type=pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def top_tokens_mg_docs(sf_dir: str) -> pd.DataFrame:
     """Corpus heavy hitters via the Misra-Gries bounded-state path
     (stages/relational.py token_heavy_hitters_mg): per-block MG
