@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # list_cosine_similarity (ANN/embedding pairs), derived
         # exact-count+bound form (approx distinct)
         "neardup_clusters_docs": q.neardup_clusters_docs,
+        "incremental_neardup_docs": q.incremental_neardup_docs,
         "simhash_docs": q.simhash_docs,
         "ngram_jaccard_pairs_docs": q.ngram_jaccard_pairs_docs,
         "ann_topk_embeddings": q.ann_topk_embeddings,
@@ -438,6 +439,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS row_id, least(a, min(b)) AS cluster_id
             FROM reach GROUP BY a ORDER BY row_id
+        """,
+        "incremental_neardup_docs": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, substr(text, g.i::INT, 8) AS gram
+                FROM documents, LATERAL (
+                    SELECT unnest(range(1, greatest(length(text) - 6, 2))) AS i
+                ) g
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ni::DOUBLE / (sa.n + sb.n - ni) >= 0.7
+            ),
+            m AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN doc_id
+                            ELSE doc_id + 1000000000 END AS mid
+                FROM documents
+            ),
+            medges AS (
+                SELECT ma.mid AS a, mb.mid AS b FROM edges
+                JOIN m ma ON ma.doc_id = edges.id_a
+                JOIN m mb ON mb.doc_id = edges.id_b
+            ),
+            sym AS (
+                SELECT a, b FROM medges UNION SELECT b, a FROM medges
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            labels AS (
+                SELECT a, least(a, min(b)) AS lbl FROM reach GROUP BY a
+            )
+            SELECT d.doc_id,
+                   coalesce(l.lbl, m.mid) = m.mid AS keep,
+                   CASE WHEN l.lbl IS NULL OR l.lbl = m.mid THEN 'keep'
+                        WHEN l.lbl < 1000000000 THEN 'dup_prior'
+                        ELSE 'dup_new' END AS reason
+            FROM documents d
+            JOIN m ON m.doc_id = d.doc_id
+            LEFT JOIN labels l ON l.a = m.mid
+            WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id
         """,
         "sessionize_events": """
             WITH e AS (

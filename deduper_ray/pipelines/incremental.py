@@ -1,0 +1,375 @@
+"""Incremental near-dup: new documents vs an EXISTING corpus.
+
+The reference's incremental mode preloads seen hashes and drops exact
+re-occurrences (Deduper.kt:135-158, S3). This module generalizes that
+to NEAR-duplicate identity: a batch of new docs is checked against a
+prior run's persisted MinHash signatures WITHOUT re-banding or
+re-sorting the prior corpus — the per-increment cost is
+
+  sign(new) + 2 narrow scans of the prior signature store + verify,
+
+never an all-to-all over the prior corpus:
+
+  1. sign the new docs (same signer config as the prior run — the
+     config hash is checked against the prior stage's lineage);
+  2. collect the DISTINCT band keys of the new docs (driver state
+     O(new_docs × bands) — the increment is assumed small relative to
+     the corpus, which is the point of incremental mode);
+  3. scan 1 over prior signatures: vectorized band-key recompute per
+     block + searchsorted against the broadcast new-key set → matched
+     (band_key, prior_id) collisions, capped per (block, key);
+  4. scan 2: gather the signature ROWS of matched prior ids
+     (broadcast id filter) so verification has both endpoints;
+  5. cross candidates (new × matched-prior per colliding bucket,
+     capped) + regular new × new candidates (LSH sort over the NEW
+     docs only);
+  6. MinHash/SimHash verification of both pair sets;
+  7. decision per new doc, equal to what a FULL run over
+     prior ∪ new would decide: connected components over all verified
+     pairs; a new doc survives iff its component contains NO prior doc
+     and it is the component's min new id (first-occurrence-wins).
+     Prior ids are required to sort below new ids — enforced by an
+     internal id offset, reported back in original ids.
+
+Scale notes: steps 3-4 are embarrassingly parallel map passes
+(no shuffle, no sort) over the prior store; only the NEW docs pay the
+LSH sort. The broadcast new-key array is the one per-increment
+driver-resident artifact; for very large increments fall back to a
+full `run_neardup` over the union.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from deduper_ray.config import NearDupConfig
+from deduper_ray.sources.readers import read_table
+from deduper_ray.stages.lsh import (
+    BandExploder,
+    band_keys,
+    candidate_pairs,
+    collect_candidate_pairs,
+)
+from deduper_ray.stages.minhash import make_signer_fn
+from deduper_ray.stages.verify import dedup_pairs_arrays, verify_pairs
+from deduper_ray.state.lineage import read_stage, write_stage, config_hash
+from deduper_ray.state.unionfind import connected_components_arrays
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class IncrementalResult:
+    out_dir: str
+    n_new_docs: int
+    n_band_collisions: int
+    n_cross_candidates: int
+    n_new_candidates: int
+    n_dup_of_prior: int
+    n_dup_within_new: int
+    n_kept: int
+    wall_sec: float = 0.0
+    counters: dict = field(default_factory=dict)
+
+    def decisions(self) -> rd.Dataset:
+        return read_stage(os.path.join(self.out_dir, "decisions"))
+
+
+def _sign_new(source, cfg: NearDupConfig) -> rd.Dataset:
+    if isinstance(source, str):
+        ds = read_table(
+            source, columns=[cfg.text_column], row_id_column=cfg.id_column
+        )
+    else:
+        ds = source
+    signer_kwargs = dict(
+        num_perms=cfg.num_perms,
+        shingle_k=cfg.shingle_k,
+        seed=cfg.seed,
+        text_column=cfg.text_column,
+        id_column=cfg.id_column,
+        use_token_shingles=cfg.use_token_shingles,
+        scheme=cfg.minhash_scheme,
+    )
+    return ds.map_batches(
+        make_signer_fn(**signer_kwargs),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    ).materialize()
+
+
+def _sig_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch["minhash"].combine_chunks()
+    K = col.type.list_size
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(batch.num_rows, K).astype(np.uint64)
+
+
+def sign_corpus(
+    source: str | rd.Dataset, stage_dir: str, cfg: NearDupConfig
+) -> rd.Dataset:
+    """Sign a corpus and checkpoint ONLY the signatures stage — the
+    minimal prior-state producer for ``run_neardup_incremental`` when
+    the full pipeline output isn't needed."""
+    sigs = _sign_new(source, cfg)
+    return write_stage(
+        sigs, stage_dir, stage="signatures",
+        cfg_hash=config_hash(asdict(cfg)), inputs=[],
+    )
+
+
+def run_neardup_incremental(
+    new_source: str | rd.Dataset,
+    out_dir: str,
+    cfg: NearDupConfig = NearDupConfig(),
+    *,
+    prior_signatures: str | rd.Dataset,
+) -> IncrementalResult:
+    t_start = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    id_col = cfg.id_column
+
+    prior = (
+        read_stage(prior_signatures)
+        if isinstance(prior_signatures, str)
+        else prior_signatures
+    )
+
+    # ---- 1. sign new docs ------------------------------------------
+    new_sigs = _sign_new(new_source, cfg)
+    n_new = new_sigs.count()
+
+    # id namespaces: every prior id must sort BELOW every new id so
+    # min-id-wins equals a full run over the union. Offset internally.
+    prior_max = prior.max(id_col) if prior.count() else -1
+    new_min = new_sigs.min(id_col) if n_new else 0
+    id_offset = int(prior_max) + 1 - int(new_min)
+    if id_offset > 0:
+
+        def _shift(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.column_names.index(id_col),
+                id_col,
+                pc.add(t[id_col], pa.scalar(id_offset, pa.int64())),
+            )
+
+        new_sigs = new_sigs.map_batches(
+            _shift, batch_format="pyarrow"
+        ).materialize()
+    else:
+        id_offset = 0
+
+    # ---- 2. distinct new band keys (broadcast) ---------------------
+    new_expl = (
+        new_sigs.map_batches(
+            BandExploder(bands=cfg.bands, id_column=id_col),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    new_keys = new_expl["band_key"].to_numpy()
+    new_ids_by_key = new_expl["row_id" if "row_id" in new_expl else id_col].to_numpy()
+    uniq_keys = np.unique(new_keys)
+    keys_ref = ray.put(uniq_keys)
+    bands = cfg.bands
+    cap = cfg.max_pairs_per_bucket
+
+    # ---- 3. scan prior signatures for band collisions --------------
+    def _collide(t: pa.Table) -> pa.Table:
+        ks: np.ndarray = ray.get(keys_ref)
+        sigs = _sig_matrix(t)
+        keys = band_keys(sigs, bands).reshape(-1).view(np.int64)
+        ids = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False), bands
+        )
+        pos = np.minimum(np.searchsorted(ks, keys), ks.size - 1)
+        hit = ks[pos] == keys
+        hk, hi = keys[hit], ids[hit]
+        if hk.size:
+            # per-(block, key) cap: a boilerplate key matching the
+            # whole prior corpus must not flood the driver
+            order = np.lexsort((hi, hk))
+            hk, hi = hk[order], hi[order]
+            starts = np.concatenate(
+                ([0], np.nonzero(hk[1:] != hk[:-1])[0] + 1)
+            )
+            lens = np.diff(np.concatenate((starts, [hk.size])))
+            rank = np.arange(hk.size) - np.repeat(starts, lens)
+            keep = rank < cap
+            hk, hi = hk[keep], hi[keep]
+        return pa.table(
+            {
+                "band_key": pa.array(hk, type=pa.int64()),
+                "prior_id": pa.array(hi, type=pa.int64()),
+            }
+        )
+
+    matched = prior.map_batches(_collide, batch_format="pyarrow").to_pandas()
+    n_collisions = len(matched)
+
+    # ---- 4. cross candidates (new × matched prior per bucket) ------
+    cross_a = np.empty(0, dtype=np.int64)
+    cross_b = np.empty(0, dtype=np.int64)
+    matched_ids = np.unique(matched["prior_id"].to_numpy()) if n_collisions else (
+        np.empty(0, dtype=np.int64)
+    )
+    if n_collisions:
+        order = np.argsort(new_keys, kind="stable")
+        sk, si = new_keys[order], new_ids_by_key[order]
+        mk = matched["band_key"].to_numpy()
+        mi = matched["prior_id"].to_numpy()
+        lo = np.searchsorted(sk, mk, side="left")
+        hi_ = np.searchsorted(sk, mk, side="right")
+        reps = np.minimum(hi_ - lo, cap)  # cap new side per collision
+        pa_list, pb_list = [], []
+        for j in np.nonzero(reps)[0]:
+            pa_list.append(np.full(reps[j], mi[j], dtype=np.int64))
+            pb_list.append(si[lo[j] : lo[j] + reps[j]])
+        if pa_list:
+            cross_a = np.concatenate(pa_list)
+            cross_b = np.concatenate(pb_list)
+            cross_a, cross_b = dedup_pairs_arrays(
+                np.minimum(cross_a, cross_b), np.maximum(cross_a, cross_b)
+            )
+    n_cross = cross_a.size
+
+    # ---- 5. new × new candidates (LSH over new docs only) ----------
+    scanned = candidate_pairs(
+        new_sigs,
+        bands=bands,
+        max_pairs_per_bucket=cap,
+        id_column=id_col,
+        hot_bucket_threshold=cfg.hot_bucket_threshold,
+    )
+    nn_pairs, nn_dropped = collect_candidate_pairs(
+        scanned, max_pairs_per_bucket=cap
+    )
+    n_new_cand = nn_pairs.num_rows
+
+    all_a = np.concatenate(
+        [cross_a, nn_pairs["id_a"].to_numpy(zero_copy_only=False)]
+    )
+    all_b = np.concatenate(
+        [cross_b, nn_pairs["id_b"].to_numpy(zero_copy_only=False)]
+    )
+    all_a, all_b = dedup_pairs_arrays(all_a, all_b)
+    cand_tbl = pa.table(
+        {"id_a": pa.array(all_a), "id_b": pa.array(all_b)}
+    )
+
+    # ---- 6. verify (store = new sigs + matched prior sig rows) -----
+    if matched_ids.size:
+        ids_ref = ray.put(matched_ids)
+
+        def _gather(t: pa.Table) -> pa.Table:
+            want: np.ndarray = ray.get(ids_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(want, ids), want.size - 1)
+            return t.filter(pa.array(want[pos] == ids))
+
+        store_sigs = new_sigs.union(
+            prior.map_batches(_gather, batch_format="pyarrow")
+        )
+    else:
+        store_sigs = new_sigs
+
+    verified = verify_pairs(
+        cand_tbl,
+        store_sigs,
+        threshold=cfg.threshold,
+        simhash_max_hamming=(
+            cfg.simhash_max_hamming if cfg.simhash_bits else None
+        ),
+        id_column=id_col,
+    )
+    vt = verified.to_pandas() if isinstance(verified, rd.Dataset) else (
+        verified.to_pandas()
+    )
+    va = vt["id_a"].to_numpy()
+    vb = vt["id_b"].to_numpy()
+
+    # ---- 7. decision: components over ALL verified pairs -----------
+    new_id_floor = int(prior_max) + 1
+    nodes, labels = connected_components_arrays(
+        va.astype(np.int64), vb.astype(np.int64)
+    )
+    # a component touching any prior id gets a label < new_id_floor
+    # (labels are MIN member ids), so the test is one vector compare
+    is_new_node = nodes >= new_id_floor
+    comp_label = labels
+    dup_prior = is_new_node & (comp_label < new_id_floor)
+    dup_new = is_new_node & (comp_label >= new_id_floor) & (
+        nodes != comp_label
+    )
+
+    all_new_ids = np.sort(
+        pc.cast(
+            pa.concat_tables(
+                [
+                    pa.table({id_col: b[id_col]})
+                    for b in new_sigs.iter_batches(
+                        batch_size=65536, batch_format="pyarrow"
+                    )
+                ]
+            )[id_col].combine_chunks(),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+    )
+    keep = np.ones(all_new_ids.size, dtype=bool)
+    reason = np.zeros(all_new_ids.size, dtype=np.int8)  # 0 keep
+    for mask, code in ((dup_prior, 1), (dup_new, 2)):
+        ids = nodes[mask]
+        pos = np.minimum(
+            np.searchsorted(all_new_ids, ids), all_new_ids.size - 1
+        )
+        sel = all_new_ids[pos] == ids
+        keep[pos[sel]] = False
+        reason[pos[sel]] = code
+
+    decisions = pa.table(
+        {
+            id_col: pa.array(all_new_ids - id_offset, type=pa.int64()),
+            "keep": pa.array(keep),
+            "reason": pa.array(
+                np.array(["keep", "dup_prior", "dup_new"])[reason]
+            ),
+        }
+    )
+    chash = config_hash(asdict(cfg))
+    write_stage(
+        rd.from_arrow(decisions),
+        os.path.join(out_dir, "decisions"),
+        stage="decisions",
+        cfg_hash=chash,
+        inputs=[],
+        extra_metrics={
+            "n_dup_of_prior": int((~keep & (reason == 1)).sum()),
+            "dropped_pairs_capped": int(nn_dropped),
+        },
+    )
+    result = IncrementalResult(
+        out_dir=out_dir,
+        n_new_docs=int(n_new),
+        n_band_collisions=int(n_collisions),
+        n_cross_candidates=int(n_cross),
+        n_new_candidates=int(n_new_cand),
+        n_dup_of_prior=int((reason == 1).sum()),
+        n_dup_within_new=int((reason == 2).sum()),
+        n_kept=int(keep.sum()),
+        wall_sec=time.time() - t_start,
+        counters={"nn_dropped": int(nn_dropped)},
+    )
+    import json
+
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(asdict(result), f, indent=2)
+    return result

@@ -908,6 +908,54 @@ def unigram_logprob_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def incremental_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    """Incremental near-dup (pipelines/incremental.py): even-doc_id
+    docs form the PRIOR corpus (signatures persisted), odd-doc_id docs
+    arrive as the NEW batch. Output: per new doc (doc_id, keep,
+    reason) where reason ∈ {keep, dup_prior, dup_new} — semantics
+    equal a full first-occurrence run over prior-then-new. The DuckDB
+    oracle recomputes exact 8-gram Jaccard edges over the union,
+    closes them transitively in the same prior-below-new id namespace,
+    and derives the identical keep/reason rule."""
+    import tempfile
+
+    from deduper_ray.config import NearDupConfig
+    from deduper_ray.pipelines.incremental import (
+        run_neardup_incremental,
+        sign_corpus,
+    )
+
+    cfg = NearDupConfig(
+        text_column="text", shingle_k=8, num_perms=128, bands=32,
+        threshold=0.7, simhash_bits=0,
+    )
+    docs = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "row_id", pc.cast(t["doc_id"], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    prior_ds = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    new_ds = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)),
+        batch_format="pyarrow",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        sign_corpus(prior_ds, os.path.join(tmp, "prior_sigs"), cfg)
+        inc = run_neardup_incremental(
+            new_ds, os.path.join(tmp, "inc"), cfg,
+            prior_signatures=os.path.join(tmp, "prior_sigs"),
+        )
+        out = inc.decisions().to_pandas()
+    out = out.rename(columns={"row_id": "doc_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def top_tokens_mg_docs(sf_dir: str) -> pd.DataFrame:
     """Corpus heavy hitters via the Misra-Gries bounded-state path
     (stages/relational.py token_heavy_hitters_mg): per-block MG
