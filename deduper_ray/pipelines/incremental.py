@@ -127,6 +127,78 @@ def sign_corpus(
     )
 
 
+def sign_corpus_resumable(
+    source: str,
+    stage_dir: str,
+    cfg: NearDupConfig,
+    *,
+    rows_per_shard: int = 262_144,
+) -> rd.Dataset:
+    """Crash-resumable signing: the parquet row-group plan is grouped
+    into deterministic shards and each shard signs + persists as its
+    own part file (state/lineage.py partitioned_map_stage). A run
+    killed mid-stage re-runs ONLY the missing shards — at 10^12 files
+    the signatures stage is hours of work, and whole-stage atomicity
+    (write_stage) would discard all of it on a crash.
+
+    Output is bit-identical to ``sign_corpus`` (same ordinals, same
+    signer config) and readable by everything that consumes a
+    signatures stage, including ``run_neardup_incremental``.
+    """
+    from deduper_ray.sources.readers import _expand_paths, _plan_row_groups
+    from deduper_ray.state.lineage import partitioned_map_stage
+
+    files = _expand_paths(source)
+    plan = _plan_row_groups(files)
+    shards: list[list] = []
+    cur: list = []
+    acc = 0
+    for p in plan:
+        cur.append((p.path, p.row_group, p.offset))
+        acc += p.num_rows
+        if acc >= rows_per_shard:
+            shards.append(cur)
+            cur, acc = [], 0
+    if cur:
+        shards.append(cur)
+
+    signer_kwargs = dict(
+        num_perms=cfg.num_perms,
+        shingle_k=cfg.shingle_k,
+        seed=cfg.seed,
+        text_column=cfg.text_column,
+        id_column=cfg.id_column,
+        use_token_shingles=cfg.use_token_shingles,
+        scheme=cfg.minhash_scheme,
+    )
+
+    def _sign_shard(shard: list) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from deduper_ray.stages.minhash import MinHashSigner
+
+        signer = MinHashSigner(**signer_kwargs)
+        out = []
+        for path, rg, offset in shard:
+            part = pq.ParquetFile(path).read_row_group(
+                rg, columns=[cfg.text_column]
+            )
+            rid = np.arange(
+                offset, offset + part.num_rows, dtype=np.int64
+            )
+            part = part.append_column(cfg.id_column, pa.array(rid))
+            out.append(signer(part))
+        return pa.concat_tables(out)
+
+    return partitioned_map_stage(
+        shards,
+        _sign_shard,
+        stage_dir,
+        stage="signatures",
+        cfg_hash=config_hash(asdict(cfg)),
+    )
+
+
 def run_neardup_incremental(
     new_source: str | rd.Dataset,
     out_dir: str,

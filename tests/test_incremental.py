@@ -80,3 +80,76 @@ def test_incremental_matches_full_run(tmp_path):
         i for i in expected_keep if bool(expected_keep[i]) != bool(got_keep[i])
     }
     assert not diffs, f"{len(diffs)} decision mismatches: {sorted(diffs)[:10]}"
+
+
+def test_sign_corpus_resumable_crash_resume(tmp_path, monkeypatch):
+    """r3: partition-level resume — a signing run that dies mid-stage
+    re-runs ONLY missing shards and its output equals single-shot
+    signing."""
+    import os
+
+    import deduper_ray.state.lineage as lin
+    from deduper_ray.pipelines.incremental import (
+        sign_corpus,
+        sign_corpus_resumable,
+    )
+
+    src = str(tmp_path / "c.parquet")
+    make_code_files(src, n_rows=1200, seed=31)
+    cfg = _cfg()
+    stage = str(tmp_path / "sigs_resumable")
+
+    # first attempt: deterministically fail every shard whose first
+    # row offset is >= 400 (shards are (path, row_group, offset)
+    # lists), independent of worker scheduling
+    orig = lin.partitioned_map_stage
+
+    def _poisoned(items, task_fn, *a, **kw):
+        def _wrapped(item):
+            if item[0][2] >= 400:
+                raise RuntimeError("injected crash")
+            return task_fn(item)
+
+        return orig(items, _wrapped, *a, **kw)
+
+    monkeypatch.setattr(lin, "partitioned_map_stage", _poisoned)
+    import deduper_ray.pipelines.incremental as inc_mod
+
+    monkeypatch.setattr(
+        inc_mod, "partitioned_map_stage", _poisoned, raising=False
+    )
+    try:
+        sign_corpus_resumable(src, stage, cfg, rows_per_shard=200)
+    except Exception:
+        pass
+    done_before = sorted(
+        f for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    assert 1 <= len(done_before) < 6  # partial progress survived
+
+    # resume with the healthy implementation
+    monkeypatch.setattr(lin, "partitioned_map_stage", orig)
+    monkeypatch.setattr(
+        inc_mod, "partitioned_map_stage", orig, raising=False
+    )
+    resumed = sign_corpus_resumable(src, stage, cfg, rows_per_shard=200)
+    import json
+
+    with open(os.path.join(stage, "_lineage.json")) as f:
+        lineage = json.load(f)
+    assert lineage["complete"] and lineage["resumed_partitions"] >= 1
+
+    single = sign_corpus(src, str(tmp_path / "sigs_single"), cfg)
+    a = resumed.to_pandas().sort_values("row_id").reset_index(drop=True)
+    b = single.to_pandas().sort_values("row_id").reset_index(drop=True)
+    assert a["row_id"].tolist() == b["row_id"].tolist()
+    assert a["simhash"].tolist() == b["simhash"].tolist()
+    assert [list(x) for x in a["minhash"]] == [list(x) for x in b["minhash"]]
+
+    # config change wipes and re-signs
+    cfg2 = NearDupConfig(
+        text_column="content", shingle_k=5, num_perms=64, bands=16,
+        threshold=0.65, batch_size=256, simhash_bits=0,
+    )
+    out2 = sign_corpus_resumable(src, stage, cfg2, rows_per_shard=200)
+    assert out2.count() == 1200
