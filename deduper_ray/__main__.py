@@ -7,6 +7,9 @@ runnable locally or via ``ray job submit -- python -m deduper_ray ...``.
 Commands:
   dedupe  --config job.json        exact dedup (DedupeConfig fields)
   neardup --source X --out DIR     near-dup clustering (NearDupConfig)
+  neardup-incr --source X --out DIR --prior SIGS
+                                   incremental near-dup vs a prior
+                                   signature stage (S3 generalized)
   sample  --config job.json        first-row hash probe (getSampleHash)
 """
 
@@ -47,6 +50,16 @@ def main(argv: list[str] | None = None) -> int:
     pn.add_argument("--no-resume", action="store_true")
     pn.add_argument("--containment", action="store_true")
 
+    pi = sub.add_parser(
+        "neardup-incr",
+        help="incremental near-dup of a new batch vs prior signatures",
+    )
+    pi.add_argument("--source", required=True)
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--prior", required=True,
+                    help="prior run's signatures stage directory")
+    pi.add_argument("--config", help="JSON file of NearDupConfig fields")
+
     ps = sub.add_parser("sample", help="first-row hash probe")
     ps.add_argument("--config", required=True)
 
@@ -77,6 +90,21 @@ def main(argv: list[str] | None = None) -> int:
             res = run_neardup(
                 args.source, args.out, NearDupConfig(**raw),
                 resume=not args.no_resume, containment=args.containment,
+            )
+            print(json.dumps(res.__dict__, default=str, indent=2))
+        elif args.cmd == "neardup-incr":
+            from deduper_ray.config import NearDupConfig
+            from deduper_ray.pipelines.incremental import (
+                run_neardup_incremental,
+            )
+
+            raw = {}
+            if args.config:
+                with open(args.config) as f:
+                    raw = json.load(f)
+            res = run_neardup_incremental(
+                args.source, args.out, NearDupConfig(**raw),
+                prior_signatures=args.prior,
             )
             print(json.dumps(res.__dict__, default=str, indent=2))
         elif args.cmd == "sample":
