@@ -286,6 +286,15 @@ def run_neardup_incremental(
         )
 
     matched = prior.map_batches(_collide, batch_format="pyarrow").to_pandas()
+    if len(matched):
+        # global per-key cap (the in-scan cap is per BLOCK; a key hot
+        # across many blocks re-concentrates here): keep the first
+        # ``cap`` prior ids per band key, deterministic by id order
+        matched = (
+            matched.sort_values(["band_key", "prior_id"], kind="mergesort")
+            .groupby("band_key", sort=False)
+            .head(cap)
+        )
     n_collisions = len(matched)
 
     # ---- 4. cross candidates (new × matched prior per bucket) ------
