@@ -81,3 +81,47 @@ def test_stringify_md5_total_function(values):
     h2 = md5_hex_array(stringify_columns(t, ("c",)))
     assert h1.to_pylist() == h2.to_pylist()
     assert all(len(x) == 32 and x.upper() == x for x in h1.to_pylist())
+
+
+@given(
+    st.lists(
+        st.text(min_size=0, max_size=60), min_size=1, max_size=50
+    ),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_buffer_digests_match_hashlib(texts, large):
+    """r3: the buffer-offset digest loops (md5/sha256/fingerprint64)
+    must equal per-string hashlib over arbitrary unicode, for both
+    string and large_string arrays, including sliced (offset) arrays."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from deduper_ray.functions.hashing import (
+        fingerprint64,
+        md5_hex_array,
+        sha256_hex_array,
+    )
+
+    typ = pa.large_string() if large else pa.string()
+    arr = pa.array(texts, type=typ)
+    # exercise a non-zero array offset too
+    for a in (arr, arr.slice(len(texts) // 2)):
+        vals = a.to_pylist()
+        exp_md5 = [
+            hashlib.md5(t.encode("utf-8")).hexdigest().upper() for t in vals
+        ]
+        exp_sha = [
+            hashlib.sha256(t.encode("utf-8")).hexdigest() for t in vals
+        ]
+        exp_fp = [
+            int.from_bytes(
+                hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+            )
+            for t in vals
+        ]
+        assert md5_hex_array(a).to_pylist() == exp_md5
+        assert sha256_hex_array(a).to_pylist() == exp_sha
+        assert [int(x) for x in fingerprint64(a).to_pylist()] == exp_fp
