@@ -25,8 +25,6 @@ import json
 import os
 import time
 from dataclasses import asdict, dataclass, field
-from typing import Any
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc

@@ -37,8 +37,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min
-
 from deduper_ray.stages.seen import SEEN_FLAG
 
 HASH_COL = "row_md5"
