@@ -171,7 +171,17 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
             }
         )
 
-    agg = stats.map_batches(_summary, batch_format="pyarrow").to_pandas().sum()
+    _sums = stats.map_batches(_summary, batch_format="pyarrow").to_pandas()
+    if len(_sums) == 0 or "rows" not in _sums.columns:
+        # empty source: no stats blocks at all
+        agg = pd.Series(
+            {
+                "groups": 0, "rows": 0, "seen_groups": 0,
+                "seen_rows": 0, "multi_groups": 0, "seen_multi": 0,
+            }
+        )
+    else:
+        agg = _sums.sum()
 
     record_count = int(agg["rows"])
     unseen_groups = int(agg["groups"] - agg["seen_groups"])

@@ -169,3 +169,40 @@ def test_sha256_invariant(real_estate, tmp_path):
         out["row_id"].to_pylist()[:25], out["street"].to_pylist()[:25]
     ):
         assert street == table["street"][rid].as_py()
+
+
+def test_edge_empty_single_and_alldup(tmp_path):
+    """r3 edge sweep: empty source, single row, and 100%-dup corpora
+    through the full dedupe() with sinks + reconciliation."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduper_ray.config import DedupeConfig
+    from deduper_ray.pipelines.exact_dedupe import dedupe
+
+    # single row
+    p1 = str(tmp_path / "one.parquet")
+    pq.write_table(pa.table({"a": ["x"], "b": [1]}), p1)
+    r = dedupe(DedupeConfig(source=p1, target_path=str(tmp_path / "t1"),
+                            hashes_path=str(tmp_path / "h1")))
+    assert (r.record_count, r.dupe_count, r.hash_count) == (1, 0, 1)
+
+    # all rows identical: one keeper, n-1 dupes
+    p2 = str(tmp_path / "same.parquet")
+    pq.write_table(pa.table({"a": ["x"] * 50, "b": [7] * 50}), p2)
+    r2 = dedupe(DedupeConfig(source=p2, target_path=str(tmp_path / "t2"),
+                             dupes_path=str(tmp_path / "d2")))
+    assert (r2.record_count, r2.dupe_count, r2.distinct_dupe_count,
+            r2.hash_count) == (50, 49, 1, 1)
+    tgt = pq.read_table(str(tmp_path / "t2"))
+    assert tgt.num_rows == 1 and tgt["row_id"][0].as_py() == 0
+
+    # empty source (schema preserved, zero rows everywhere)
+    p3 = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64())}), p3)
+    r3 = dedupe(DedupeConfig(source=p3, target_path=str(tmp_path / "t3"),
+                             hashes_path=str(tmp_path / "h3")))
+    assert (r3.record_count, r3.dupe_count, r3.hash_count) == (0, 0, 0)
