@@ -137,6 +137,17 @@ class AsyncStoreBuilder:
                     )
                     if t.num_columns > 0
                 ]
+                if not tbls:  # empty corpus → trivially-empty store
+                    self._ref = ray.put(
+                        {
+                            "base": None,
+                            "ids": np.empty(0, dtype=np.int64),
+                            "sigs": np.empty((0, 1), dtype=np.uint32),
+                            "simhash": np.empty(0, dtype=np.uint64),
+                            "n_shingles": np.empty(0, dtype=np.int64),
+                        }
+                    )
+                    return
                 self._ref = ray.put(
                     _store_from_table(pa.concat_tables(tbls), id_column)
                 )

@@ -173,3 +173,41 @@ def test_sha256_content_invariant(corpus, result):
     assert result.n_docs == table.num_rows
     sig_ids = result.signatures().to_pandas()["row_id"]
     assert sig_ids.nunique() == table.num_rows
+
+
+def test_neardup_empty_and_single_corpus(tmp_path):
+    """r3 edge sweep: empty and single-doc corpora run end-to-end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduper_ray.config import NearDupConfig
+    from deduper_ray.pipelines.neardup import run_neardup
+
+    cfg = NearDupConfig(
+        text_column="content", num_perms=64, bands=16, simhash_bits=0
+    )
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "row_id": pa.array([], pa.int64()),
+                "content": pa.array([], pa.string()),
+            }
+        ),
+        p,
+    )
+    r = run_neardup(p, str(tmp_path / "oe"), cfg, resume=False)
+    assert (r.n_docs, r.n_verified_pairs, r.n_clusters) == (0, 0, 0)
+
+    p1 = str(tmp_path / "one.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "row_id": pa.array([0], pa.int64()),
+                "content": ["just one lonely document here"],
+            }
+        ),
+        p1,
+    )
+    r1 = run_neardup(p1, str(tmp_path / "o1"), cfg, resume=False)
+    assert (r1.n_docs, r1.n_verified_pairs, r1.n_clusters) == (1, 0, 0)
