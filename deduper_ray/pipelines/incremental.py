@@ -219,6 +219,31 @@ def run_neardup_incremental(
     # ---- 1. sign new docs ------------------------------------------
     new_sigs = _sign_new(new_source, cfg)
     n_new = new_sigs.count()
+    chash = config_hash(asdict(cfg))
+    if n_new == 0:
+        # empty increment: empty decisions, nothing else to do
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "keep": pa.array([], type=pa.bool_()),
+                "reason": pa.array([], type=pa.string()),
+            }
+        )
+        write_stage(
+            rd.from_arrow(empty), os.path.join(out_dir, "decisions"),
+            stage="decisions", cfg_hash=chash, inputs=[],
+        )
+        result = IncrementalResult(
+            out_dir=out_dir, n_new_docs=0, n_band_collisions=0,
+            n_cross_candidates=0, n_new_candidates=0, n_dup_of_prior=0,
+            n_dup_within_new=0, n_kept=0,
+            wall_sec=time.time() - t_start,
+        )
+        import json as _json
+
+        with open(os.path.join(out_dir, "report.json"), "w") as f:
+            _json.dump(asdict(result), f, indent=2)
+        return result
 
     # id namespaces: every prior id must sort BELOW every new id so
     # min-id-wins equals a full run over the union. Offset internally.
@@ -372,11 +397,13 @@ def run_neardup_incremental(
         ),
         id_column=id_col,
     )
-    vt = verified.to_pandas() if isinstance(verified, rd.Dataset) else (
-        verified.to_pandas()
-    )
-    va = vt["id_a"].to_numpy()
-    vb = vt["id_b"].to_numpy()
+    vt = verified.to_pandas()
+    if len(vt) and "id_a" in vt.columns:
+        va = vt["id_a"].to_numpy()
+        vb = vt["id_b"].to_numpy()
+    else:  # no verified pairs at all (e.g. empty prior + unique new)
+        va = np.empty(0, dtype=np.int64)
+        vb = np.empty(0, dtype=np.int64)
 
     # ---- 7. decision: components over ALL verified pairs -----------
     new_id_floor = int(prior_max) + 1

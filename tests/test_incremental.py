@@ -153,3 +153,45 @@ def test_sign_corpus_resumable_crash_resume(tmp_path, monkeypatch):
     )
     out2 = sign_corpus_resumable(src, stage, cfg2, rows_per_shard=200)
     assert out2.count() == 1200
+
+
+def test_incremental_edge_empty_sides(tmp_path):
+    """r3 edge sweep: empty new batch and empty prior corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduper_ray.pipelines.incremental import (
+        run_neardup_incremental,
+        sign_corpus,
+    )
+
+    cfg = _cfg()
+
+    def mk(path, texts):
+        pq.write_table(
+            pa.table(
+                {
+                    "row_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "content": pa.array(texts, pa.string()),
+                }
+            ),
+            path,
+        )
+
+    mk(str(tmp_path / "prior.parquet"), ["some document " * 8, "другой doc " * 6])
+    sign_corpus(str(tmp_path / "prior.parquet"), str(tmp_path / "sigs"), cfg)
+    mk(str(tmp_path / "enew.parquet"), [])
+    r = run_neardup_incremental(
+        str(tmp_path / "enew.parquet"), str(tmp_path / "o1"), cfg,
+        prior_signatures=str(tmp_path / "sigs"),
+    )
+    assert (r.n_new_docs, r.n_kept) == (0, 0)
+
+    mk(str(tmp_path / "eprior.parquet"), [])
+    sign_corpus(str(tmp_path / "eprior.parquet"), str(tmp_path / "esigs"), cfg)
+    mk(str(tmp_path / "new.parquet"), ["some document " * 8, "fresh thing " * 9])
+    r2 = run_neardup_incremental(
+        str(tmp_path / "new.parquet"), str(tmp_path / "o2"), cfg,
+        prior_signatures=str(tmp_path / "esigs"),
+    )
+    assert (r2.n_new_docs, r2.n_kept, r2.n_dup_of_prior) == (2, 2, 0)
