@@ -28,9 +28,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # north-rule corpus size (BASELINE.md §4: 10^5-10^6 rows, deterministic
 # synthetic code_files per FIXTURES.md F1; cached across runs/processes)
 BENCH_NDOCS = int(os.environ.get("BENCH_NDOCS", "100000"))
-# runs per pipeline (min taken): 2 damps this VM's CPU-steal noise;
-# BENCH_RUNS=1 for quick iterations
-BENCH_RUNS = max(1, int(os.environ.get("BENCH_RUNS", "2")))
+# runs per pipeline (min taken): 3 damps this VM's CPU-steal noise
+# (measured 2x swings on identical code); BENCH_RUNS=1 for quick
+# iterations
+BENCH_RUNS = max(1, int(os.environ.get("BENCH_RUNS", "3")))
 
 
 def _code_files_path() -> str:
@@ -245,7 +246,13 @@ def run_scaling() -> None:
     ndocs = os.environ.get("BENCH_NDOCS", "2000000")
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_NDOCS=ndocs)
+        # min-of-2 per leg (not the default 3): the 2-CPU leg runs
+        # ~6 min per sample, and the per-leg minimum over two samples
+        # already bounds the noise (BASELINE.md §6.1 protocol)
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_NDOCS=ndocs,
+            BENCH_RUNS=os.environ.get("BENCH_RUNS", "2"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,
