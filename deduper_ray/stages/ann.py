@@ -592,3 +592,185 @@ def semantic_dedupe(
     return assigned.groupby("_cell").map_groups(
         _collapse, batch_format="pandas"
     )
+
+
+# ------------------------------------------------------------ IVF index
+#
+# Persisted form of the IVF path (the "classic IVF file layout" the
+# ivf_topk docstring points to): build ONCE — centroids + vectors
+# partitioned into one parquet file-set per cell — then every query
+# reads ONLY its probed cells. At 10^9+ vectors this turns per-query
+# cost from a full corpus scan into n_probe/n_cells of it, with the
+# same deterministic centroids as ivf_topk (same sample, same seed).
+
+def build_ivf_index(
+    embeddings: rd.Dataset,
+    index_dir: str,
+    *,
+    n_cells: int = 64,
+    sample_mod: int = 8,
+    seed: int = 42,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> dict:
+    """Partition ``embeddings`` into an on-disk IVF index.
+
+    Layout:
+      index_dir/meta.json                 {n_cells, dim, columns, seed}
+      index_dir/centroids.npy             (C, d) float64, normalized
+      index_dir/cell=<c>/part-*.parquet   (id, embedding, cell) rows
+
+    The cell files are written IN PARALLEL by the map tasks (each task
+    writes its batch's slice of each cell under a unique name derived
+    from the batch's min id — no coordination, no shuffle); a cell's
+    rows may span several files, which the query path reads together.
+    """
+    import json as _json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    def _sample(t: pa.Table) -> pa.Table:
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % sample_mod == 0)).select([vec_column])
+
+    sample_tbl = dataset_to_table(
+        embeddings.map_batches(_sample, batch_format="pyarrow")
+    )
+    sample = _to_matrix(sample_tbl[vec_column])
+    centroids = spherical_kmeans(sample, n_cells, seed=seed)
+    n_cells = len(centroids)
+
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    for c in range(n_cells):
+        os.makedirs(os.path.join(index_dir, f"cell={c}"), exist_ok=True)
+    cent_ref = ray.put(centroids)
+
+    def _write_cells(t: pa.Table) -> pa.Table:
+        cent: np.ndarray = ray.get(cent_ref)
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        mat = _normalize(_to_matrix(t[vec_column]))
+        cells = np.argmax(mat @ cent.T, axis=1)
+        tag = int(ids.min()) if ids.size else 0
+        written = 0
+        for c in np.unique(cells):
+            sub = t.filter(pa.array(cells == c)).append_column(
+                "cell", pa.array(np.full(int((cells == c).sum()), c,
+                                         dtype=np.int64))
+            )
+            tmp = os.path.join(
+                index_dir, f"cell={int(c)}", f"part-{tag:012d}.parquet.tmp"
+            )
+            _pq.write_table(sub, tmp)
+            os.replace(tmp, tmp[: -len(".tmp")])
+            written += sub.num_rows
+        return pa.table({"written": pa.array([written], type=pa.int64())})
+
+    counts = dataset_to_table(
+        embeddings.map_batches(_write_cells, batch_format="pyarrow"),
+        pa.schema([("written", pa.int64())]),
+    )
+    total = int(np.sum(counts["written"].to_numpy(zero_copy_only=False))) if counts.num_rows else 0
+    dim = centroids.shape[1]
+    meta = {
+        "n_cells": int(n_cells), "dim": int(dim), "rows": total,
+        "id_column": id_column, "vec_column": vec_column, "seed": seed,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        _json.dump(meta, f, indent=2)
+    return meta
+
+
+def ivf_index_topk(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    n_probe: int = 8,
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Top-k over a persisted IVF index: read ONLY the probed cells.
+
+    Same scoring semantics as ``ivf_topk`` (each query scores vectors
+    in its probed cells); the read itself is the pruning — unprobed
+    cell directories never leave storage.
+    """
+    import glob as _glob
+    import json as _json
+    import os
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    n_probe = min(n_probe, len(centroids))
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+
+    needed = sorted(set(int(c) for row in probes for c in row))
+    files = [
+        f
+        for c in needed
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, f"cell={c}", "part-*.parquet"))
+        )
+    ]
+    if not files:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    ds = rd.read_parquet(files)
+    state_ref = ray.put(
+        {
+            "qids": np.asarray(query_ids),
+            "qmat": qmat,
+            "probes": probes,
+        }
+    )
+    id_col, vec_col = meta["id_column"], meta["vec_column"]
+    topk = k
+
+    def _score(t: pa.Table) -> pa.Table:
+        s = ray.get(state_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        cells = t["cell"].to_numpy(zero_copy_only=False)
+        mat = _normalize(_to_matrix(t[vec_col]))
+        out = {"query_id": [], "neighbor_id": [], "score": []}
+        for qi in range(len(s["qids"])):
+            mask = np.isin(cells, s["probes"][qi])
+            if not mask.any():
+                continue
+            sims = mat[mask] @ s["qmat"][qi]
+            kk = min(topk + 1, sims.size)
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            out["query_id"].extend([int(s["qids"][qi])] * kk)
+            out["neighbor_id"].extend(ids[mask][part].tolist())
+            out["score"].extend(sims[part].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+                "score": pa.array(out["score"], type=pa.float64()),
+            }
+        )
+
+    cand = dataset_to_table(
+        ds.map_batches(_score, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("neighbor_id", pa.int64()),
+                ("score", pa.float64()),
+            ]
+        ),
+    )
+    return _merge_topk(cand, query_ids, k, exclude_self)

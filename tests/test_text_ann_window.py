@@ -309,3 +309,54 @@ def test_ivf_topk_matches_bruteforce_with_full_probes():
     got = set(zip(part["query_id"], part["neighbor_id"]))
     want = set(zip(exact["query_id"], exact["neighbor_id"]))
     assert len(got & want) / len(want) >= 0.9
+
+
+def test_ivf_index_persisted_matches_inline(tmp_path):
+    """r3: the persisted IVF index (build once, read only probed cells)
+    reproduces inline ivf_topk exactly — same deterministic centroids,
+    same scoring — and full probes equal brute force."""
+    import numpy as np
+
+    from deduper_ray.stages.ann import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(4)
+    centers = rng.standard_normal((6, 16)) * 3
+    vecs = np.concatenate(
+        [c + rng.standard_normal((50, 16)) for c in centers]
+    ).astype(np.float32)
+    n = len(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), type=pa.float32()), 16
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    qids = np.array([0, 77, 222])
+    qmat = vecs[qids].astype(np.float64)
+
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(
+        ds, idx, n_cells=6, sample_mod=2, seed=7
+    )
+    assert meta["rows"] == n
+    inline = ivf_topk(
+        ds, qids, qmat, k=5, n_cells=6, n_probe=3, sample_mod=2, seed=7
+    ).to_pandas()
+    persisted = ivf_index_topk(idx, qids, qmat, k=5, n_probe=3).to_pandas()
+    assert inline.values.tolist() == persisted.values.tolist()
+
+    # full probes == exact brute force (ranking; scores may differ in
+    # the last ulp from summation order)
+    bf = brute_force_topk(ds, qids, qmat, k=5).to_pandas()
+    full = ivf_index_topk(idx, qids, qmat, k=5, n_probe=6).to_pandas()
+    cols = ["query_id", "neighbor_id"]
+    assert bf[cols].values.tolist() == full[cols].values.tolist()
+    assert np.allclose(bf["score"], full["score"], atol=1e-12)
