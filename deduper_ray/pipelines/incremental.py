@@ -35,7 +35,13 @@ Scale notes: steps 3-4 are embarrassingly parallel map passes
 (no shuffle, no sort) over the prior store; only the NEW docs pay the
 LSH sort. The broadcast new-key array is the one per-increment
 driver-resident artifact; for very large increments fall back to a
-full `run_neardup` over the union.
+full `run_neardup` over the union. Cost scales with the COLLISION
+volume, not the prior size: a typical low-dup increment costs
+sign(new) + two prior scans, while a fully-adversarial increment
+(every new doc a clone) must gather ~|new| prior signature rows into
+the verify store and approaches full-run cost — measured 46 s for a
+100k all-clone increment against a 10^6-doc prior at 32 CPUs (the
+full union rerun is ~40 s).
 """
 
 from __future__ import annotations
@@ -336,13 +342,22 @@ def run_neardup_incremental(
         lo = np.searchsorted(sk, mk, side="left")
         hi_ = np.searchsorted(sk, mk, side="right")
         reps = np.minimum(hi_ - lo, cap)  # cap new side per collision
-        pa_list, pb_list = [], []
-        for j in np.nonzero(reps)[0]:
-            pa_list.append(np.full(reps[j], mi[j], dtype=np.int64))
-            pb_list.append(si[lo[j] : lo[j] + reps[j]])
-        if pa_list:
-            cross_a = np.concatenate(pa_list)
-            cross_b = np.concatenate(pb_list)
+        nz = np.nonzero(reps)[0]
+        if nz.size:
+            # fully vectorized expansion (a per-collision Python loop
+            # measured 40+ s at 2.4M collisions): prior side repeats,
+            # new side gathers si[start_j .. start_j + reps_j)
+            r = reps[nz]
+            starts = lo[nz]
+            total = int(r.sum())
+            offs = np.concatenate(([0], np.cumsum(r[:-1])))
+            pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(offs, r)
+                + np.repeat(starts, r)
+            )
+            cross_a = np.repeat(mi[nz], r)
+            cross_b = si[pos]
             cross_a, cross_b = dedup_pairs_arrays(
                 np.minimum(cross_a, cross_b), np.maximum(cross_a, cross_b)
             )
