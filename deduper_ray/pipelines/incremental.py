@@ -211,7 +211,13 @@ def run_neardup_incremental(
     cfg: NearDupConfig = NearDupConfig(),
     *,
     prior_signatures: str | rd.Dataset,
+    prior_source: str | rd.Dataset | None = None,
 ) -> IncrementalResult:
+    """See module docstring. ``cfg.verify_mode="exact"`` re-scores the
+    candidate pairs with the TRUE k-shingle Jaccard (content re-read
+    for pair-endpoint docs only) — requires ``prior_source`` so prior
+    endpoints' content is reachable; the estimate mode needs only the
+    signature store."""
     t_start = time.time()
     os.makedirs(out_dir, exist_ok=True)
     id_col = cfg.id_column
@@ -403,15 +409,83 @@ def run_neardup_incremental(
     else:
         store_sigs = new_sigs
 
-    verified = verify_pairs(
-        cand_tbl,
-        store_sigs,
-        threshold=cfg.threshold,
-        simhash_max_hamming=(
-            cfg.simhash_max_hamming if cfg.simhash_bits else None
-        ),
-        id_column=id_col,
-    )
+    if cfg.verify_mode == "exact":
+        # exact-text re-score (oracle-grade): endpoint content only.
+        # New side re-reads new_source with the internal id offset;
+        # prior side reads prior_source filtered to matched ids.
+        if prior_source is None:
+            raise ValueError(
+                "verify_mode='exact' requires prior_source (content "
+                "for prior pair endpoints)"
+            )
+        from deduper_ray.stages.verify import verify_pairs_exact
+
+        if isinstance(new_source, str):
+            new_text = read_table(
+                new_source, columns=[cfg.text_column],
+                row_id_column=id_col,
+            )
+        else:
+            new_text = new_source
+        if id_offset:
+            off = id_offset
+
+            def _shift_text(t: pa.Table) -> pa.Table:
+                return t.set_column(
+                    t.column_names.index(id_col), id_col,
+                    pc.add(t[id_col], pa.scalar(off, pa.int64())),
+                )
+
+            new_text = new_text.map_batches(
+                _shift_text, batch_format="pyarrow"
+            )
+        if isinstance(prior_source, str):
+            prior_text = read_table(
+                prior_source, columns=[cfg.text_column],
+                row_id_column=id_col,
+            )
+        else:
+            prior_text = prior_source
+        if matched_ids.size:
+            pids_ref = ray.put(matched_ids)
+
+            def _prior_filter(t: pa.Table) -> pa.Table:
+                want: np.ndarray = ray.get(pids_ref)
+                ids = t[id_col].to_numpy(zero_copy_only=False)
+                pos = np.minimum(
+                    np.searchsorted(want, ids), want.size - 1
+                )
+                return t.filter(pa.array(want[pos] == ids))
+
+            prior_text = prior_text.map_batches(
+                _prior_filter, batch_format="pyarrow"
+            )
+            text_ds = new_text.union(prior_text)
+        else:
+            text_ds = new_text
+        text_ds = text_ds.map_batches(
+            lambda t: t.select([id_col, cfg.text_column]),
+            batch_format="pyarrow",
+        )
+        verified = verify_pairs_exact(
+            cand_tbl,
+            text_ds,
+            threshold=cfg.threshold,
+            shingle_k=cfg.shingle_k,
+            text_column=cfg.text_column,
+            id_column=id_col,
+            use_token_shingles=cfg.use_token_shingles,
+        )
+    else:
+        verified = verify_pairs(
+            cand_tbl,
+            store_sigs,
+            threshold=cfg.threshold,
+            simhash_max_hamming=(
+                cfg.simhash_max_hamming if cfg.simhash_bits else None
+            ),
+            id_column=id_col,
+        )
     vt = verified.to_pandas()
     if len(vt) and "id_a" in vt.columns:
         va = vt["id_a"].to_numpy()

@@ -913,10 +913,14 @@ def incremental_neardup_docs(sf_dir: str) -> pd.DataFrame:
     docs form the PRIOR corpus (signatures persisted), odd-doc_id docs
     arrive as the NEW batch. Output: per new doc (doc_id, keep,
     reason) where reason ∈ {keep, dup_prior, dup_new} — semantics
-    equal a full first-occurrence run over prior-then-new. The DuckDB
-    oracle recomputes exact 8-gram Jaccard edges over the union,
-    closes them transitively in the same prior-below-new id namespace,
-    and derives the identical keep/reason rule."""
+    equal a full first-occurrence run over prior-then-new.
+    verify_mode="exact" re-scores every candidate pair with the TRUE
+    8-shingle Jaccard, so the edge set is exact-by-construction
+    wherever LSH recall is 1 (bands=32, the neardup_clusters_docs
+    regime). The DuckDB oracle recomputes the identical exact 8-gram
+    Jaccard edges over the union, closes them transitively in the same
+    prior-below-new id namespace, and derives the identical
+    keep/reason rule."""
     import tempfile
 
     from deduper_ray.config import NearDupConfig
@@ -927,7 +931,7 @@ def incremental_neardup_docs(sf_dir: str) -> pd.DataFrame:
 
     cfg = NearDupConfig(
         text_column="text", shingle_k=8, num_perms=128, bands=32,
-        threshold=0.7, simhash_bits=0,
+        threshold=0.7, simhash_bits=0, verify_mode="exact",
     )
     docs = rd.read_parquet(
         _t(sf_dir, "documents"), columns=["doc_id", "text"]
@@ -950,6 +954,7 @@ def incremental_neardup_docs(sf_dir: str) -> pd.DataFrame:
         inc = run_neardup_incremental(
             new_ds, os.path.join(tmp, "inc"), cfg,
             prior_signatures=os.path.join(tmp, "prior_sigs"),
+            prior_source=prior_ds,
         )
         out = inc.decisions().to_pandas()
     out = out.rename(columns={"row_id": "doc_id"})
