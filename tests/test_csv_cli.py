@@ -97,3 +97,47 @@ def test_cli_dedupe_and_sample(tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     sample = json.loads(out2.stdout[out2.stdout.index("{"):])
     assert len(sample["sample_hash"]) == 32
+
+
+def test_cli_neardup_incr(tmp_path):
+    """r3: neardup-incr subcommand end-to-end (own Ray session)."""
+    import pyarrow as pa
+
+    from deduper_ray.sources.synth import make_code_files
+
+    prior_src = str(tmp_path / "prior.parquet")
+    make_code_files(prior_src, n_rows=300, seed=3)
+    new_src = str(tmp_path / "new.parquet")
+    make_code_files(new_src, n_rows=100, seed=3)  # verbatim clones
+
+    # sign prior in-process (session fixture Ray)
+    from deduper_ray.config import NearDupConfig
+    from deduper_ray.pipelines.incremental import sign_corpus
+
+    cfg = NearDupConfig(
+        text_column="content", num_perms=64, bands=16,
+        threshold=0.65, simhash_bits=0,
+    )
+    sign_corpus(prior_src, str(tmp_path / "sigs"), cfg)
+    cfg_path = str(tmp_path / "nd.json")
+    with open(cfg_path, "w") as f:
+        json.dump(
+            {
+                "text_column": "content", "num_perms": 64, "bands": 16,
+                "threshold": 0.65, "simhash_bits": 0,
+            },
+            f,
+        )
+    env = dict(os.environ, PYTHONPATH="/root/repo", RAY_ADDRESS="local")
+    out = subprocess.run(
+        [sys.executable, "-m", "deduper_ray", "--num-cpus", "2",
+         "neardup-incr", "--source", new_src,
+         "--out", str(tmp_path / "inc"),
+         "--prior", str(tmp_path / "sigs"), "--config", cfg_path],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout[out.stdout.index("{"):])
+    assert res["n_new_docs"] == 100
+    assert res["n_dup_of_prior"] == 100
+    assert res["n_kept"] == 0
