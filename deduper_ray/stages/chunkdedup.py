@@ -36,6 +36,65 @@ from ray.data.aggregate import Min
 _IDX_BITS = 20
 _SENTINEL = -1
 
+# deterministic Gear table for content-defined chunking (CDC)
+_GEAR = np.random.RandomState(0x5EED).randint(
+    0, 2**63, 256
+).astype(np.uint64)
+
+
+def cdc_cut_points(
+    data: np.ndarray,
+    *,
+    min_size: int,
+    avg_size: int,
+    max_size: int,
+    window: int = 32,
+) -> list[int]:
+    """Content-defined cut points over a UTF-8 byte array (Gear-hash
+    CDC, the FastCDC family): a boundary lands where the rolling Gear
+    hash of the trailing ``window`` bytes has its low log2(avg_size)
+    bits zero, subject to [min_size, max_size] chunk bounds. Boundaries
+    move WITH the content, so inserting bytes near the front re-chunks
+    only the neighborhood — the shift-robustness fixed-width chunking
+    lacks. Cut points are snapped forward to UTF-8 character starts so
+    every chunk remains a valid string.
+
+    The hash is fully vectorized (``window`` shifted adds over the
+    byte array — same shape as the shingle hasher); the boundary walk
+    is O(#chunks + #candidates), not O(bytes). ``avg_size`` must be a
+    power of two."""
+    n = int(data.size)
+    if n == 0:
+        return []
+    if avg_size & (avg_size - 1):
+        raise ValueError("avg_size must be a power of two")
+    g = _GEAR[data]
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(window):
+        h[k:] += g[: n - k] << np.uint64(k)  # mod 2^64 wraps naturally
+    mask = np.uint64(avg_size - 1)
+    cand = np.nonzero((h & mask) == 0)[0] + 1  # cut AFTER position i
+    cuts: list[int] = []
+    last = 0
+    ci = 0
+    while last < n:
+        lo_t = last + min_size
+        hi_t = last + max_size
+        while ci < cand.size and cand[ci] < lo_t:
+            ci += 1
+        if ci < cand.size and cand[ci] <= hi_t:
+            cut = int(cand[ci])
+        else:
+            cut = min(hi_t, n)
+        if cut >= n:
+            cuts.append(n)
+            break
+        while cut < n and (data[cut] & 0xC0) == 0x80:
+            cut += 1  # snap to the next UTF-8 char start
+        cuts.append(cut)
+        last = cut
+    return cuts
+
 
 def chunk_dedupe(
     ds: rd.Dataset,
@@ -45,9 +104,21 @@ def chunk_dedupe(
     chunk_chars: int = 64,
     num_partitions: int | None = None,
     out: str = "clean_text",
+    chunker: str = "fixed",
+    cdc_min: int = 32,
+    cdc_avg: int = 64,
+    cdc_max: int = 256,
 ) -> rd.Dataset:
     """Returns a Dataset (id_column, out) with every repeated chunk
     (beyond its first occurrence in (id, chunk_idx) order) removed.
+
+    ``chunker="fixed"`` (default): fixed-width character chunks, fully
+    Arrow-vectorized — the oracle-checkable mode. ``chunker="cdc"``:
+    content-defined boundaries (``cdc_cut_points``) — chunks survive
+    INSERTIONS near-unchanged, so near-identical files dedupe at the
+    chunk level where fixed grids realign everything downstream of the
+    edit. Downstream machinery (first-wins groupby + hash join +
+    bucketed reassembly) is identical for both.
 
     ``num_partitions`` sizes the join's hash-shuffle aggregator pool;
     each aggregator is an actor with real startup cost, so default to
@@ -93,8 +164,42 @@ def chunk_dedupe(
             )
         return pa.concat_tables(parts)
 
+    def _chunk_cdc(t: pa.Table) -> pa.Table:
+        from deduper_ray.functions.hashing import _utf8_slices
+
+        offs, buf = _utf8_slices(t[text_column])
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        out_ids = [ids]  # sentinel rows first (always-kept, seg "")
+        out_idx = [np.full(t.num_rows, _SENTINEL, dtype=np.int64)]
+        segs: list[bytes] = [b""] * t.num_rows
+        for r, (a, b) in enumerate(zip(offs, offs[1:])):
+            data = np.frombuffer(buf, dtype=np.uint8, count=b - a, offset=a)
+            cuts = cdc_cut_points(
+                data, min_size=cdc_min, avg_size=cdc_avg, max_size=cdc_max
+            )
+            last = 0
+            for i, c in enumerate(cuts):
+                segs.append(bytes(data[last:c]))
+                last = c
+            if cuts:
+                out_ids.append(np.full(len(cuts), ids[r], dtype=np.int64))
+                out_idx.append(np.arange(len(cuts), dtype=np.int64))
+        seg_arr = pc.cast(  # valid UTF-8 by construction (char-snapped)
+            pa.array(segs, type=pa.large_binary()), pa.string()
+        )
+        return pa.table(
+            {
+                id_column: pa.array(np.concatenate(out_ids)),
+                "chunk_idx": pa.array(np.concatenate(out_idx)),
+                "seg": seg_arr,
+            }
+        )
+
+    chunk_fn = {"fixed": _chunk, "cdc": _chunk_cdc}.get(chunker)
+    if chunk_fn is None:
+        raise ValueError(f"unknown chunker {chunker!r}")
     chunks = ds.select_columns([id_column, text_column]).map_batches(
-        _chunk, batch_format="pyarrow"
+        chunk_fn, batch_format="pyarrow"
     )
 
     def _ordinal(t: pa.Table) -> pa.Table:

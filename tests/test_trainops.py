@@ -329,3 +329,52 @@ def test_grouped_quantiles_binned_exact_floats():
         for q, col in ((0.5, "q50"), (0.9, "q90")):
             expect = v[max(1, int(np.ceil(q * nn))) - 1]
             assert out.loc[kk, col] == expect, (kk, col)
+
+
+def test_cdc_chunk_dedupe_shift_robust():
+    """r3: content-defined chunking — reconstruction is exact, and a
+    PREFIX INSERTION still dedupes the shared tail (the property fixed
+    grids lack: one inserted char realigns every fixed chunk)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduper_ray.stages.chunkdedup import cdc_cut_points, chunk_dedupe
+
+    rng = np.random.RandomState(2)
+    base = "".join(
+        rng.choice(list("abcdefgh ijklmnop qrstuv wxyz.\n"), 4000)
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": [base, "PREFIX-INSERTED-" + base],
+        }
+    )
+    ds = rd.from_arrow(docs)
+
+    # no dupes within doc 0 alone → reconstruction must be exact
+    solo = chunk_dedupe(
+        rd.from_arrow(docs.slice(0, 1)), chunker="cdc"
+    ).to_pandas()
+    assert solo["clean_text"].iloc[0] == base
+
+    both = chunk_dedupe(ds, chunker="cdc").to_pandas().set_index("doc_id")
+    assert both.loc[0, "clean_text"] == base  # first occurrence keeps all
+    # doc 1 keeps its novel prefix region but loses most of the shared
+    # tail to dedup — CDC boundaries resync after the insertion
+    survived = len(both.loc[1, "clean_text"])
+    assert survived < len(base) * 0.25, survived
+
+    # fixed chunking on the same input dedupes almost nothing of doc 1
+    fixed = chunk_dedupe(ds, chunker="fixed").to_pandas().set_index("doc_id")
+    assert len(fixed.loc[1, "clean_text"]) > len(base) * 0.9
+
+    # cut-point invariants incl. multi-byte safety
+    text = ("héllo wörld → " * 300).encode("utf-8")
+    data = np.frombuffer(text, dtype=np.uint8)
+    cuts = cdc_cut_points(data, min_size=32, avg_size=64, max_size=256)
+    assert cuts[-1] == len(text)
+    assert all(b2 - b1 <= 256 + 3 for b1, b2 in zip([0] + cuts, cuts))
+    pieces = [text[a:b].decode("utf-8") for a, b in zip([0] + cuts, cuts)]
+    assert "".join(pieces) == text.decode("utf-8")
