@@ -289,12 +289,27 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
             )
         with _sink_guard("target"):
             if is_sqlite_url(cfg.target_path):
-                # reference K2 SQL target (Persistors.kt:240-314):
-                # auto-DDL + batched INSERT into the named table
-                db, table, _ = parse_sqlite_url(cfg.target_path)
-                written["target"] = write_sqlite_table(
-                    target, db, table or "target_data"
+                from deduper_ray.sources.sql_io import (
+                    is_sharded_sqlite_url,
+                    write_sqlite_sharded,
                 )
+
+                db, table, _ = parse_sqlite_url(cfg.target_path)
+                if is_sharded_sqlite_url(cfg.target_path):
+                    # parallel fan-out: sqlite:///dir/part-{i}.db —
+                    # one database per shard, written concurrently
+                    # (sql_io.write_sqlite_sharded); row counts still
+                    # reconcile at K5
+                    shard_dir = os.path.dirname(db)
+                    written["target"] = write_sqlite_sharded(
+                        target, shard_dir, table or "target_data"
+                    )
+                else:
+                    # reference K2 SQL target (Persistors.kt:240-314):
+                    # auto-DDL + batched INSERT into the named table
+                    written["target"] = write_sqlite_table(
+                        target, db, table or "target_data"
+                    )
             elif cfg.target_format == "csv":
                 # reference K1 CSV target (Persistors.kt:147-179)
                 from deduper_ray.sources.csv_io import write_csv_sink

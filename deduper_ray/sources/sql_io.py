@@ -53,6 +53,12 @@ def is_sqlite_url(source: str | list[str]) -> bool:
     return isinstance(source, str) and source.startswith("sqlite://")
 
 
+def is_sharded_sqlite_url(source: str | list[str]) -> bool:
+    """``sqlite:///dir/part-{i}.db?table=T`` — the parallel fan-out
+    sink form (``{i}`` marks the shard slot; one database per shard)."""
+    return is_sqlite_url(source) and "{i}" in source
+
+
 def parse_sqlite_url(url: str) -> tuple[str, str | None, str | None]:
     """→ (db_path, table, query). At most one of table/query; sinks
     with fixed table names (dupes/hashes) pass a bare db url."""

@@ -259,3 +259,28 @@ def test_varchar_padding_ddl(tmp_path):
         ).fetchone()[0]
         assert "VARCHAR(25)" in ddl
         assert conn.execute("SELECT count(*) FROM t").fetchone()[0] == 2
+
+
+def test_dedupe_sharded_sql_target(re_db, tmp_path):
+    """r3: dedupe() with a sqlite:///dir/part-{i}.db target fans the
+    deduped rows out across shard databases; reconciliation (K5) sums
+    across shards."""
+    cfg = DedupeConfig(
+        source=f"sqlite://{re_db}?table=real_estate",
+        hash_keys=RE_HASH_KEYS,
+        target_path=(
+            f"sqlite://{tmp_path}/shards/part-{{i}}.db?table=target_data"
+        ),
+    )
+    report = dedupe(cfg)
+    assert report.record_count == 986 and report.dupe_count == 4
+    shard_dir = os.path.join(tmp_path, "shards")
+    files = [f for f in os.listdir(shard_dir) if f.endswith(".db")]
+    assert files
+    total = 0
+    for f in files:
+        with sqlite3.connect(os.path.join(shard_dir, f)) as conn:
+            total += conn.execute(
+                "SELECT count(*) FROM target_data"
+            ).fetchone()[0]
+    assert total == 982
