@@ -284,3 +284,54 @@ def test_dedupe_sharded_sql_target(re_db, tmp_path):
                 "SELECT count(*) FROM target_data"
             ).fetchone()[0]
     assert total == 982
+
+
+def _duckdb_ro(path):
+    import duckdb
+
+    return duckdb.connect(path, read_only=True)
+
+
+def test_read_sql_duckdb_backend(tmp_path):
+    """r3: read_sql works over a SECOND DB-API engine (duckdb) — the
+    any-driver claim of the connection-factory source, partitioned and
+    single-scan forms."""
+    import functools
+
+    import duckdb
+    import pandas as pd
+
+    from deduper_ray.sources.sql_io import read_sql
+
+    db = str(tmp_path / "d.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE t AS SELECT range AS id, "
+        "'name-' || range AS name, range * 1.5 AS score "
+        "FROM range(500)"
+    )
+    con.close()
+
+    factory = functools.partial(_duckdb_ro, db)
+    part = (
+        read_sql(
+            factory, "SELECT * FROM t", partition_column="id",
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    assert len(part) == 500
+    assert list(part["row_id"]) == list(range(500))
+    assert part["name"].iloc[499] == "name-499"
+
+    single = (
+        read_sql(factory, "SELECT * FROM t ORDER BY id")
+        .to_pandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        part[["id", "name", "score"]], single[["id", "name", "score"]]
+    )
