@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": q.sample_docs,
         "intersect_click_buy_users": q.intersect_click_buy_users,
         "approx_distinct_users": q.approx_distinct_users,
+        "approx_quantiles_events": q.approx_quantiles_events,
         "asof_latest_order_per_event": q.asof_latest_order_per_event,
         # near-dup / similarity — all oracle-checked since round 2:
         # exact-verify + recursive-closure SQL (clusters), md5-based
@@ -276,6 +277,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT user_id) AS n_users_exact,
                    TRUE AS hll_within_5pct
             FROM events
+        """,
+        "approx_quantiles_events": """
+            SELECT q.q_pct,
+                   (SELECT count(*) FROM events) AS n_rows,
+                   TRUE AS kll_within_eps
+            FROM (VALUES (10), (50), (95)) q(q_pct)
+            ORDER BY q.q_pct
         """,
         # same distinct-4-gram sets (ASCII docs: byte shingles ==
         # character substrings), same int-operand division — doubles

@@ -120,3 +120,143 @@ def approx_distinct(
     for s in partials["sketch"].to_pylist():
         merged = merged.merge(HyperLogLog.deserialize(s))
     return merged.estimate()
+
+
+class KLLSketch:
+    """Mergeable streaming quantile sketch (KLL-style, Karnin-Lang-
+    Liberty 2016 family): level i holds items of weight 2^i; a level
+    past ``k`` items compacts — sort, keep alternating items from a
+    seeded offset, promote to level i+1. One pass per block, merges by
+    buffer concatenation + re-compaction — the shape a 100-TB
+    reduction needs (each block sketches independently, partials merge
+    associatively on the driver or in a tree).
+
+    Rank error: this fixed-capacity-per-level variant guarantees
+    |est_rank - true_rank| ≤ n · eps with eps ≈ 1.5 · levels / k
+    (each compaction at level i perturbs ranks by ≤ 2^i/2 and level i
+    compacts ≤ n/(k·2^i) times → total ≤ n·levels/(2k) per side;
+    the 1.5 factor covers merge-time re-compaction). Determinism: the
+    alternation offset comes from a counter-seeded RNG, so identical
+    input order → identical sketch; Ray block order varies, so treat
+    estimates as reproducible only for a fixed merge order (the test
+    asserts the BOUND, not a byte-identical sketch).
+    """
+
+    __slots__ = ("k", "seed", "levels", "n", "_compactions")
+
+    def __init__(self, k: int = 256, seed: int = 1):
+        self.k = int(k)
+        self.seed = int(seed)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        self._compactions = 0
+
+    def update_many(self, values: np.ndarray) -> "KLLSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return self
+        self.n += int(v.size)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compact()
+        return self
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for i, buf in enumerate(other.levels):
+            if buf.size:
+                self.levels[i] = np.concatenate([self.levels[i], buf])
+        self.n += other.n
+        self._compact()
+        return self
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            buf = self.levels[i]
+            if buf.size > self.k:
+                buf = np.sort(buf)
+                rng = np.random.RandomState(
+                    (self.seed * 0x9E3779B1 + self._compactions) & 0x7FFFFFFF
+                )
+                self._compactions += 1
+                off = int(rng.randint(2))
+                promoted = buf[off::2]
+                self.levels[i] = np.empty(0, dtype=np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], promoted]
+                )
+            i += 1
+
+    def quantile(self, q: float) -> float:
+        """Weighted-rank select: the smallest retained item whose
+        cumulative weight reaches ceil(q·n)."""
+        items, weights = [], []
+        for i, buf in enumerate(self.levels):
+            if buf.size:
+                items.append(buf)
+                weights.append(np.full(buf.size, 1 << i, dtype=np.int64))
+        if not items:
+            raise ValueError("empty sketch")
+        x = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(x, kind="stable")
+        x, w = x[order], w[order]
+        cum = np.cumsum(w)
+        target = max(1, int(np.ceil(q * cum[-1])))
+        return float(x[np.searchsorted(cum, target, side="left")])
+
+    @property
+    def eps(self) -> float:
+        return 1.5 * max(1, len(self.levels)) / self.k
+
+    def serialize(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            {
+                "k": self.k, "seed": self.seed, "n": self.n,
+                "c": self._compactions, "levels": self.levels,
+            }
+        )
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "KLLSketch":
+        import pickle
+
+        d = pickle.loads(data)
+        s = cls(k=d["k"], seed=d["seed"])
+        s.n = d["n"]
+        s._compactions = d["c"]
+        s.levels = d["levels"]
+        return s
+
+
+def approx_quantiles(
+    ds, value_column: str, quantiles: list[float], *, k: int = 256,
+    seed: int = 1,
+):
+    """Distributed approximate quantiles: one KLL partial per block
+    (serialized through Arrow), merged on the driver. Returns
+    (estimates list, merged sketch)."""
+    import ray.data as rd  # noqa: F401 — type context
+
+    def _partial(t: pa.Table) -> pa.Table:
+        s = KLLSketch(k=k, seed=seed)
+        s.update_many(
+            t[value_column].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"sketch": pa.array([s.serialize()], type=pa.large_binary())}
+        )
+
+    merged = KLLSketch(k=k, seed=seed)
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for raw in b["sketch"]:
+            merged.merge(KLLSketch.deserialize(raw.as_py()))
+    return [merged.quantile(q) for q in quantiles], merged

@@ -540,6 +540,58 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def approx_quantiles_events(sf_dir: str) -> pd.DataFrame:
+    """KLL approximate quantiles of events.value (mergeable per-block
+    sketch partials — functions/sketches.py KLLSketch), ORACLE-CHECKED
+    via the same derived form as approx_distinct_users: the exact row
+    count plus a deterministic flag asserting each estimate's EXACT
+    rank (computed distributedly: one vectorized count-below pass)
+    lands within the sketch's eps rank-error bound. The oracle expects
+    TRUE per quantile."""
+    from deduper_ray.functions.sketches import approx_quantiles
+
+    qs = [0.1, 0.5, 0.95]
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"]).materialize()
+    ests, sketch = approx_quantiles(ds, "value", qs, k=256, seed=7)
+    ests_arr = np.asarray(ests)
+
+    def _ranks(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        below = np.array(
+            [(v <= e).sum() for e in ests_arr], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "qi": pa.array(np.arange(len(ests_arr)), type=pa.int64()),
+                "below": pa.array(below),
+                "n": pa.array(
+                    np.full(len(ests_arr), t.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    parts = dataset_to_table(
+        ds.map_batches(_ranks, batch_format="pyarrow"),
+        pa.schema([("qi", pa.int64()), ("below", pa.int64()), ("n", pa.int64())]),
+    ).to_pandas()
+    agg = parts.groupby("qi")[["below", "n"]].sum()
+    # each block emits its row count once PER qi, so the per-qi sum is
+    # already the total row count
+    n_total = int(agg["n"].iloc[0]) if len(agg) else 0
+    rows = []
+    for qi, q in enumerate(qs):
+        rank = int(agg.loc[qi, "below"])
+        ok = abs(rank / n_total - q) <= sketch.eps + 1e-9
+        rows.append(
+            {
+                "q_pct": int(round(q * 100)),
+                "n_rows": n_total,
+                "kll_within_eps": bool(ok),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("q_pct").reset_index(drop=True)
+
+
 def sample_docs(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus down-sampling by row-id modulus (SURVEY
     §2.5 'Sampling': reproducible under any parallelism, unlike

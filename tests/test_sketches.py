@@ -47,3 +47,58 @@ def test_approx_distinct_dataset():
     ).repartition(8)
     est = approx_distinct(ds, "v")
     assert abs(est - 5000) / 5000 < 0.05
+
+
+def test_kll_rank_error_bound_and_merge():
+    """r3: KLL quantile sketch — rank error within eps after heavy
+    compaction; merge(a, b) ≈ sketch(a ∪ b); serde round-trips."""
+    import numpy as np
+
+    from deduper_ray.functions.sketches import KLLSketch
+
+    rng = np.random.RandomState(8)
+    data = np.concatenate(
+        [rng.standard_normal(60000) * 5, rng.exponential(2.0, 40000)]
+    )
+    s = KLLSketch(k=200, seed=3)
+    for chunk in np.array_split(data, 37):
+        s.update_many(chunk)
+    srt = np.sort(data)
+    n = len(data)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        est = s.quantile(q)
+        rank = np.searchsorted(srt, est, side="right")
+        assert abs(rank / n - q) <= s.eps + 1e-9, (q, rank / n, s.eps)
+
+    # mergeability
+    a, b = KLLSketch(k=200, seed=3), KLLSketch(k=200, seed=4)
+    a.update_many(data[: n // 2])
+    b.update_many(data[n // 2 :])
+    a.merge(b)
+    assert a.n == n
+    est = a.quantile(0.5)
+    rank = np.searchsorted(srt, est, side="right")
+    assert abs(rank / n - 0.5) <= a.eps + 1e-9
+
+    # serde
+    r = KLLSketch.deserialize(s.serialize())
+    assert r.quantile(0.5) == s.quantile(0.5)
+
+
+def test_approx_quantiles_distributed():
+    """r3: per-block KLL partials merged on the driver stay within the
+    sketch's rank-error bound on a multi-block Dataset."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduper_ray.functions.sketches import approx_quantiles
+
+    rng = np.random.RandomState(9)
+    vals = rng.gamma(3.0, 10.0, 50000)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(16)
+    ests, sketch = approx_quantiles(ds, "v", [0.1, 0.5, 0.95], k=256)
+    srt = np.sort(vals)
+    for q, est in zip((0.1, 0.5, 0.95), ests):
+        rank = np.searchsorted(srt, est, side="right")
+        assert abs(rank / len(vals) - q) <= sketch.eps + 1e-9
