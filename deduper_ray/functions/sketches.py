@@ -260,3 +260,58 @@ def approx_quantiles(
         for raw in b["sketch"]:
             merged.merge(KLLSketch.deserialize(raw.as_py()))
     return [merged.quantile(q) for q in quantiles], merged
+
+
+def grouped_approx_quantiles(
+    ds,
+    *,
+    key: str,
+    value_column: str,
+    quantiles: list[float],
+    k: int = 256,
+    seed: int = 1,
+):
+    """Per-group approximate quantiles in ONE pass: each block builds a
+    KLL partial PER KEY it contains (vectorized split via np.unique),
+    partials merge by key on the driver. Driver state is
+    O(#keys × k) floats — the runscan-style moderate-key-cardinality
+    regime; for corpus-scale key cardinality hash-bucket the rows by
+    key and run this per bucket. Returns a pandas DataFrame
+    (key, n, q<pct>..., eps)."""
+    import pandas as pd
+
+    def _partial(t: pa.Table) -> pa.Table:
+        kv = t[key].to_numpy(zero_copy_only=False)
+        vv = t[value_column].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(kv, return_inverse=True)
+        keys_out, blobs = [], []
+        for i, kk in enumerate(uniq):
+            s = KLLSketch(k=k, seed=seed)
+            s.update_many(vv[inv == i])
+            keys_out.append(kk)
+            blobs.append(s.serialize())
+        return pa.table(
+            {
+                "key": pa.array([str(x) for x in keys_out]),
+                "sketch": pa.array(blobs, type=pa.large_binary()),
+            }
+        )
+
+    merged: dict[str, KLLSketch] = {}
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for kk, raw in zip(b["key"].to_pylist(), b["sketch"].to_pylist()):
+            s = KLLSketch.deserialize(raw)
+            if kk in merged:
+                merged[kk].merge(s)
+            else:
+                merged[kk] = s
+    rows = []
+    for kk in sorted(merged):
+        s = merged[kk]
+        row = {"key": kk, "n": s.n, "eps": s.eps}
+        for q in quantiles:
+            row[f"q{int(round(q * 100))}"] = s.quantile(q)
+        rows.append(row)
+    return pd.DataFrame(rows)

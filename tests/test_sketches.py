@@ -102,3 +102,37 @@ def test_approx_quantiles_distributed():
     for q, est in zip((0.1, 0.5, 0.95), ests):
         rank = np.searchsorted(srt, est, side="right")
         assert abs(rank / len(vals) - q) <= sketch.eps + 1e-9
+
+
+def test_grouped_approx_quantiles_within_bound():
+    """r3: per-key KLL partials merged across blocks stay within eps of
+    each group's exact quantiles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduper_ray.functions.sketches import grouped_approx_quantiles
+
+    rng = np.random.RandomState(12)
+    n = 60000
+    keys = rng.choice(["a", "b", "c"], n)
+    vals = np.where(
+        keys == "a", rng.standard_normal(n) * 4, rng.exponential(3.0, n)
+    )
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ).repartition(12)
+    out = grouped_approx_quantiles(
+        ds, key="k", value_column="v", quantiles=[0.25, 0.9], k=256
+    ).set_index("key")
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    for kk, g in df.groupby("k"):
+        srt = np.sort(g["v"].to_numpy())
+        eps = out.loc[kk, "eps"]
+        assert out.loc[kk, "n"] == len(srt)
+        for q, col in ((0.25, "q25"), (0.9, "q90")):
+            est = out.loc[kk, col]
+            rank = np.searchsorted(srt, est, side="right")
+            assert abs(rank / len(srt) - q) <= eps + 1e-9, (kk, col)
