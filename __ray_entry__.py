@@ -90,6 +90,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": q.repetition_docs,
         # set-op EXCEPT (broadcast anti-join)
         "except_users_no_big_purchase": q.except_users_no_big_purchase,
+        # round-3 session-2 extensions: keep-best dedup policy,
+        # windowed event dedup, SimHash Hamming clustering, interval
+        # join, grouped-percentile outlier filter, TF-IDF terms
+        "dedup_keep_best_docs": q.dedup_keep_best_docs,
+        "window_dedup_events": q.window_dedup_events,
+        "simhash_neardup_docs": q.simhash_neardup_docs,
+        "range_join_orders_events": q.range_join_orders_events,
+        "events_above_p99": q.events_above_p99,
+        "tfidf_top_terms_docs": q.tfidf_top_terms_docs,
     }
 
 
@@ -711,5 +720,133 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'purchase' AND value > 200.0
             ORDER BY user_id
+        """,
+        # keep-best policy dedup: keeper = longest variant per 32-char
+        # text prefix, ties to lowest doc_id
+        "dedup_keep_best_docs": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY substr(text, 1, 32)
+                ORDER BY n_chars DESC, doc_id
+            ) = 1
+            ORDER BY doc_id
+        """,
+        # windowed dedup: first (ts, event_id) per (user, type, 1h window)
+        "window_dedup_events": """
+            SELECT event_id, user_id, event_type,
+                   floor(epoch(ts))::BIGINT AS tsec, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type,
+                             floor(epoch(ts) / 3600)::BIGINT
+                ORDER BY ts, event_id
+            ) = 1
+            ORDER BY event_id
+        """,
+        # identical md5-shingle SimHash fingerprints on both sides (the
+        # simhash_docs construction), edges = bit_count(xor) <= 3,
+        # recursive-CTE transitive closure — equal by construction to
+        # the engine's 4x16-bit band blocking + exact Hamming verify
+        # (pigeonhole: recall 1 for Hamming <= 3 with 4 bands)
+        "simhash_neardup_docs": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, substr(text, g.i::INT, 8) AS gram
+                FROM documents, LATERAL (
+                    SELECT unnest(range(1, greatest(length(text) - 6, 2))) AS i
+                ) g
+            ),
+            h AS (
+                SELECT doc_id, md5_number_lower(gram) AS hv FROM sh
+            ),
+            counts AS (SELECT doc_id, count(*) AS n FROM h GROUP BY 1),
+            bits AS (
+                SELECT h.doc_id, b.i AS bit,
+                       sum(((hv >> b.i::INT) & 1)::BIGINT) AS ones
+                FROM h, LATERAL (SELECT unnest(range(0, 64)) AS i) b
+                GROUP BY 1, 2
+            ),
+            sim AS (
+                SELECT c.doc_id,
+                       coalesce(sum(
+                           CASE WHEN 2 * b.ones > c.n THEN
+                               CASE WHEN b.bit = 63
+                                    THEN -9223372036854775808
+                                    ELSE (1::BIGINT << b.bit::INT) END
+                           ELSE 0 END
+                       ), 0)::BIGINT AS simhash
+                FROM counts c JOIN bits b ON b.doc_id = c.doc_id
+                GROUP BY c.doc_id
+            ),
+            edges AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM edges
+                UNION SELECT id_b, id_a FROM edges
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY doc_id
+        """,
+        # interval join (band join): events within [orderdate,
+        # orderdate + 7d) for the same customer, LEFT semantics
+        "range_join_orders_events": """
+            SELECT o.o_orderkey,
+                   count(e.ts) AS n_points
+            FROM orders o
+            LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+        """,
+        # grouped-percentile outlier filter: value strictly above the
+        # event_type's exact p99 (percentile_disc is a data value, so
+        # the comparison is exact on both sides)
+        "events_above_p99": """
+            WITH q AS (
+                SELECT event_type,
+                       percentile_disc(0.99) WITHIN GROUP (ORDER BY value)
+                           AS p99
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, e.value
+            FROM events e JOIN q USING (event_type)
+            WHERE e.value > q.p99
+            ORDER BY e.event_id
+        """,
+        # TF-IDF top-3 per doc; idf = ln(N/df) in exact micro-units
+        # (round half away from zero on both sides), score = tf * micro,
+        # ties broken by token ascending
+        "tfidf_top_terms_docs": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM toks
+                WHERE token <> '' GROUP BY 1, 2
+            ),
+            idf AS (
+                SELECT token,
+                       CAST(round(ln((SELECT count(*) FROM documents)::DOUBLE
+                                     / count(*)) * 1000000) AS BIGINT)
+                           AS micro
+                FROM tf GROUP BY token
+            )
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   tf.tf * idf.micro AS score_micro
+            FROM tf JOIN idf USING (token)
+            QUALIFY row_number() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY score_micro DESC, tf.token
+            ) <= 3
+            ORDER BY tf.doc_id, score_micro DESC, tf.token
         """,
     }

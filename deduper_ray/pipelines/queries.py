@@ -1283,3 +1283,201 @@ def except_users_no_big_purchase(sf_dir: str) -> pd.DataFrame:
     return (
         out.to_pandas().sort_values("user_id").reset_index(drop=True)
     )
+
+
+# ------------------------------------------------- round-3 extensions
+
+
+def dedup_keep_best_docs(sf_dir: str) -> pd.DataFrame:
+    """Policy-dedup: docs grouped by their 32-char text PREFIX (prefix
+    blocking — the record-linkage blocking key family), keeper = the
+    LONGEST variant, ties to the lowest doc_id (stages/exact.py
+    dedupe_keep_best). Generalizes the reference's first-wins keeper
+    rule (Deduper.kt:207-240) to a quality policy."""
+    from deduper_ray.stages.exact import dedupe_keep_best
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"))
+    keyed = ds.map_batches(
+        lambda t: t.append_column(
+            "_pfx", pc.utf8_slice_codeunits(t["text"], 0, 32)
+        ),
+        batch_format="pyarrow",
+    )
+    best = dedupe_keep_best(
+        keyed, group_col="_pfx", score_col="n_chars", id_col="doc_id"
+    ).map_batches(lambda t: t.drop_columns(["_pfx"]), batch_format="pyarrow")
+    out = best.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "text", "lang", "source", "n_chars"]]
+
+
+def window_dedup_events(sf_dir: str) -> pd.DataFrame:
+    """Windowed dedup: first event per (user_id, event_type) within
+    each 1-hour tumbling window, ordered by (ts, event_id) — the
+    event-log compaction form of first-occurrence-wins
+    (stages/window.py window_dedupe)."""
+    from deduper_ray.stages.window import window_dedupe
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    out = window_dedupe(
+        ds, keys=["user_id", "event_type"], ts_column="ts",
+        window_sec=3600, id_column="event_id",
+    )
+    df = dataset_to_table(out).to_pandas()
+    df["tsec"] = (df["ts"].astype("int64") // 1_000_000).astype(np.int64)
+    return (
+        df[["event_id", "user_id", "event_type", "tsec", "value"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def simhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup clustering: 64-bit MD5-shingle SimHash, 4×16-bit
+    band blocking (pigeonhole recall 1 for Hamming ≤ 3), exact
+    popcount(xor) verify, components (stages/simhash_nd.py). The SQL
+    oracle recomputes the identical fingerprints (md5_number_lower) and
+    clusters the bit_count(xor) ≤ 3 pairs with a recursive closure."""
+    from deduper_ray.functions.text import add_simhash_md5
+    from deduper_ray.stages.simhash_nd import simhash_neardup
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    sims = ds.map_batches(
+        lambda t: add_simhash_md5(t, shingle_k=8).select(
+            ["doc_id", "simhash"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = simhash_neardup(
+        sims, id_column="doc_id", max_hamming=3, bands=4
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def range_join_orders_events(sf_dir: str) -> pd.DataFrame:
+    """Interval join: per order, how many of the customer's events fall
+    in the 7 days from the order date (stages/relational.py
+    range_join_count — co-partitioned band join, vectorized
+    lexicographic rank difference per bucket)."""
+    from deduper_ray.stages.relational import range_join_count
+
+    events = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts"]
+    )
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "user_id", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    out = range_join_count(
+        events, orders, by="user_id", point_ts="ts",
+        interval_start="o_orderdate", window_sec=7 * 86400,
+        interval_id="o_orderkey",
+    )
+    df = dataset_to_table(out).to_pandas()
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def events_above_p99(sf_dir: str) -> pd.DataFrame:
+    """Grouped outlier filter: events whose value exceeds their
+    event_type's exact p99 (percentile_disc). Thresholds come from the
+    distributed range-refinement quantiles (grouped_quantiles_binned)
+    and are broadcast; the filter is one vectorized pass — the
+    two-phase shape of any 'compare to a group statistic' filter."""
+    from deduper_ray.stages.relational import grouped_quantiles_binned
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    q = grouped_quantiles_binned(
+        ds, key="event_type", value_col="value", quantiles=[0.99],
+        num_bins=64, max_enumeration=50,
+    )
+    thresholds = dict(zip(q["event_type"], q["q99"]))
+    thr_ref = ray.put(thresholds)
+
+    def _flag(t: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        et = t["event_type"].to_pylist()
+        lim = np.array([thr[e] for e in et], dtype=np.float64)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v > lim))
+
+    out = ds.map_batches(_flag, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def tfidf_top_terms_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-3 TF-IDF terms per document (space tokenization, idf =
+    ln(N/df) in exact micro-units so engine and oracle agree
+    bit-for-bit): per-(doc, token) tf via explode + native groupby,
+    document frequencies via a second narrow groupby, idf map
+    broadcast, grouped top-k selection (relational.grouped_top_k).
+    Vocabulary-sized driver/broadcast state — same bound as the
+    unigram LM; swap in token_heavy_hitters_mg for unbounded domains."""
+    from ray.data.aggregate import Count
+
+    from deduper_ray.stages.relational import grouped_top_k
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        out = pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, lens), type=pa.int64()),
+                "token": flat,
+            }
+        )
+        return out.filter(pc.not_equal(out["token"], ""))
+
+    tf = (
+        docs.map_batches(_explode, batch_format="pyarrow")
+        .groupby(["doc_id", "token"])
+        .aggregate(Count(alias_name="tf"))
+        .materialize()
+    )
+    # document frequency: tf rows are distinct (doc, token) pairs
+    df_tbl = dataset_to_table(
+        tf.groupby("token").aggregate(Count(alias_name="df"))
+    )
+    dfs = df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    # idf in exact micro-units (half-away-from-zero, like _cents)
+    x = np.log(float(n_docs) / dfs) * 1e6
+    idf_micro = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    idf_ref = ray.put(
+        {
+            "tokens": np.asarray(df_tbl["token"].combine_chunks()),
+            "micro": idf_micro,
+        }
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        m = ray.get(idf_ref)
+        order = np.argsort(m["tokens"], kind="stable")
+        toks_sorted, micro_sorted = m["tokens"][order], m["micro"][order]
+        bt = np.asarray(t["token"].combine_chunks())
+        pos = np.searchsorted(toks_sorted, bt)
+        tfv = t["tf"].to_numpy(zero_copy_only=False)
+        score = tfv * micro_sorted[pos]
+        return t.append_column(
+            "score_micro", pa.array(score, type=pa.int64())
+        )
+
+    scored = tf.map_batches(_score, batch_format="pyarrow")
+    top = grouped_top_k(
+        scored, 3, group_keys=["doc_id"],
+        sort_keys=["score_micro", "token"], descending=[True, False],
+    )
+    out = top.to_pandas()[["doc_id", "token", "tf", "score_micro"]]
+    return out.sort_values(
+        ["doc_id", "score_micro", "token"],
+        ascending=[True, False, True],
+    ).reset_index(drop=True)

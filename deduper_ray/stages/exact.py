@@ -321,6 +321,41 @@ def make_drop_filter(drops_ref: "ray.ObjectRef", *, drop_cols: list[str] | None 
     return _drop
 
 
+def dedupe_keep_best(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    score_col: str,
+    id_col: str = ROW_ID,
+) -> rd.Dataset:
+    """Policy-dedup: one keeper per ``group_col`` value — the row with
+    the MAX ``score_col`` (ties broken by MIN ``id_col``).
+
+    Generalizes the reference's first-occurrence-wins keeper rule
+    (Deduper.kt:207-240, keeper = lowest ordinal) to a quality policy:
+    "of the near-identical variants, keep the best one" — the standard
+    choice in training-data curation where later/longer versions beat
+    the first-crawled one. First-wins is the special case
+    score = -ordinal.
+
+    Scale shape: grouped argmax over full rows — one keyed wide
+    all-to-all (the keeper row must survive with its payload, same as
+    ``dedupe_shuffle``); keeper choice per group is vectorized. When
+    the payload is heavy and groups are dupe-sparse, run this over a
+    narrow (group, score, id) projection instead and anti-filter with
+    the broadcast keeper set (the stages/exact.py drop-set pattern).
+    """
+
+    def _best(group: pa.Table) -> pa.Table:
+        scores = group[score_col].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        at_max = scores == scores.max()
+        sel = int(np.flatnonzero(at_max)[np.argmin(ids[at_max])])
+        return group.take([sel])
+
+    return ds.groupby(group_col).map_groups(_best, batch_format="pyarrow")
+
+
 def dedupe_shuffle(hashed: rd.Dataset, *, hash_col: str = HASH_COL) -> rd.Dataset:
     """Alternative full-shuffle strategy: grouped first-wins over FULL
     rows. One wide all-to-all, zero driver state — the right choice when

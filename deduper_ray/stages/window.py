@@ -115,6 +115,45 @@ def sliding_aggregate(
     )
 
 
+def window_dedupe(
+    events: rd.Dataset,
+    *,
+    keys: list[str],
+    ts_column: str = "ts",
+    window_sec: int = 3600,
+    id_column: str = "event_id",
+) -> rd.Dataset:
+    """Windowed deduplication: within each tumbling window, keep the
+    FIRST row per key tuple (ordered by ts, then id for determinism).
+
+    The streaming-dedup shape of the reference's first-occurrence-wins
+    rule (Deduper.kt:207-240): instead of a global ordinal, the keeper
+    rule applies per (keys..., window) — the standard at-least-once
+    event-log compaction. One keyed all-to-all of full rows (the row
+    must survive, so the payload has to move — same shape as
+    ``stages.exact.dedupe_shuffle``); keeper choice per group is
+    vectorized numpy, no per-row Python."""
+    windowed = events.map_batches(
+        lambda t: add_tumbling_window(
+            t, ts_column=ts_column, window_sec=window_sec
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _first(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group[ts_column], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ids = group[id_column].to_numpy(zero_copy_only=False)
+        at_min = ts == ts.min()
+        sel = int(np.flatnonzero(at_min)[np.argmin(ids[at_min])])
+        return group.take([sel]).drop_columns(["window_start"])
+
+    return windowed.groupby(keys + ["window_start"]).map_groups(
+        _first, batch_format="pyarrow"
+    )
+
+
 def session_windows(
     events: rd.Dataset,
     *,

@@ -1,0 +1,245 @@
+"""Unit tests for the round-3 session-2 operators: SimHash Hamming
+clustering, keep-best dedup policy, windowed event dedup, and the
+interval (range) join. Oracle parity at sf0.01 is covered by
+tools/check_oracles.py; these pin stage-level semantics against
+brute-force references on adversarial mini-corpora."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from deduper_ray.stages.exact import dedupe_keep_best
+from deduper_ray.stages.relational import _lex_insert_left, range_join_count
+from deduper_ray.stages.simhash_nd import hamming64, simhash_neardup
+from deduper_ray.stages.window import window_dedupe
+
+
+# ------------------------------------------------------------ simhash
+
+
+def test_hamming64_matches_python_popcount():
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 2**63, size=200, dtype=np.int64)
+    b = rng.randint(0, 2**63, size=200, dtype=np.int64)
+    got = hamming64(a, b)
+    want = np.array(
+        [bin(int(x) ^ int(y)).count("1") for x, y in zip(a, b)],
+        dtype=np.int64,
+    )
+    assert np.array_equal(got, want)
+    # sign bit exercised via the uint64 view
+    assert hamming64(np.array([-1], dtype=np.int64),
+                     np.array([0], dtype=np.int64))[0] == 64
+
+
+def _brute_clusters(sims: np.ndarray, max_hamming: int) -> dict[int, int]:
+    """All-pairs Hamming edges + union-find (min-member labels)."""
+    n = sims.size
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if bin(int(sims[i]) ^ int(sims[j])).count("1") <= max_hamming:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+                edges += 1
+    labels = {}
+    for i in range(n):
+        root = find(i)
+        labels.setdefault(root, []).append(i)
+    out = {}
+    for members in labels.values():
+        if len(members) > 1:
+            m = min(members)
+            for i in members:
+                out[i] = m
+    return out
+
+
+def test_simhash_neardup_matches_bruteforce():
+    rng = np.random.RandomState(42)
+    base = rng.randint(0, 2**63, size=40, dtype=np.int64)
+    rows = [int(b) for b in base]
+    # plant near-dups: flip 1-3 bits of some fingerprints
+    for i in range(0, 40, 5):
+        v = int(base[i])
+        for nbits in (1, 2, 3):
+            flipped = v
+            for b in rng.choice(64, size=nbits, replace=False):
+                flipped ^= 1 << int(b)
+            rows.append(flipped)
+    sims = np.array(rows, dtype=np.uint64).view(np.int64)
+    ids = np.arange(sims.size, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"row_id": pa.array(ids), "simhash": pa.array(sims)})
+    )
+    got = (
+        simhash_neardup(ds, max_hamming=3, bands=4)
+        .to_pandas()
+        .set_index("row_id")["cluster_id"]
+        .to_dict()
+    )
+    want = _brute_clusters(sims, 3)
+    assert got == want
+    assert len(want) > 0  # the planted dups actually clustered
+
+
+def test_simhash_neardup_validates_bands():
+    ds = rd.from_arrow(
+        pa.table({"row_id": pa.array([0]), "simhash": pa.array([0])})
+    )
+    with pytest.raises(ValueError):
+        simhash_neardup(ds, max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        simhash_neardup(ds, max_hamming=2, bands=3)
+
+
+# ---------------------------------------------------------- keep-best
+
+
+def test_dedupe_keep_best_max_score_then_min_id():
+    t = pa.table(
+        {
+            "g": ["a", "a", "a", "b", "b", "c"],
+            "score": [1, 9, 9, 5, 5, 2],
+            "row_id": [10, 12, 11, 3, 2, 7],
+            "payload": ["p10", "p12", "p11", "p3", "p2", "p7"],
+        }
+    )
+    out = (
+        dedupe_keep_best(
+            rd.from_arrow(t), group_col="g", score_col="score",
+            id_col="row_id",
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # a: max score 9, tie between ids 12/11 → 11; b: tie 3/2 → 2; c: 7
+    assert out["row_id"].tolist() == [11, 2, 7]
+    assert out["payload"].tolist() == ["p11", "p2", "p7"]
+
+
+def test_dedupe_keep_best_constant_score_is_first_wins():
+    t = pa.table(
+        {
+            "g": ["x"] * 4,
+            "score": [1, 1, 1, 1],
+            "row_id": [40, 20, 30, 25],
+        }
+    )
+    out = dedupe_keep_best(
+        rd.from_arrow(t), group_col="g", score_col="score", id_col="row_id"
+    ).to_pandas()
+    assert out["row_id"].tolist() == [20]
+
+
+# ------------------------------------------------------ window dedupe
+
+
+def test_window_dedupe_first_per_window():
+    us = 1_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "ts": pa.array(
+                # windows of 10s: [0,10) and [10,20)
+                np.array([5, 3, 3, 12, 11, 5], dtype=np.int64) * us,
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, 1, 1, 2], type=pa.int64()),
+            "event_type": ["c", "c", "c", "c", "c", "c"],
+        }
+    )
+    out = (
+        window_dedupe(
+            rd.from_arrow(t), keys=["user_id", "event_type"],
+            ts_column="ts", window_sec=10, id_column="event_id",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    # user 1 window [0,10): ts=3 ties → min event_id 2
+    # user 1 window [10,20): ts=11 → event 5; user 2: event 6
+    assert out["event_id"].tolist() == [2, 5, 6]
+
+
+# -------------------------------------------------------- range join
+
+
+def test_lex_insert_left_matches_per_key_searchsorted():
+    rng = np.random.RandomState(3)
+    pk = rng.randint(0, 5, size=300).astype(np.int64)
+    pt = rng.randint(0, 100, size=300).astype(np.int64)
+    qk = rng.randint(-1, 7, size=80).astype(np.int64)
+    qt = rng.randint(-5, 110, size=80).astype(np.int64)
+    got = _lex_insert_left(pk, pt, qk, qt)
+    want = np.array(
+        [
+            np.sum((pk < k) | ((pk == k) & (pt < t)))
+            for k, t in zip(qk, qt)
+        ],
+        dtype=np.int64,
+    )
+    assert np.array_equal(got, want)
+
+
+def test_range_join_count_matches_bruteforce():
+    rng = np.random.RandomState(11)
+    us = 1_000_000
+    n_pts, n_iv = 500, 120
+    pk = rng.randint(0, 20, size=n_pts).astype(np.int64)
+    pt = rng.randint(0, 10_000, size=n_pts).astype(np.int64)
+    ik = rng.randint(0, 25, size=n_iv).astype(np.int64)  # some keys empty
+    istart = rng.randint(0, 10_000, size=n_iv).astype(np.int64)
+    iid = np.arange(n_iv, dtype=np.int64)
+    w = 500  # seconds
+
+    points = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(pk),
+                "ts": pa.array(pt * us, type=pa.timestamp("us")),
+            }
+        )
+    )
+    intervals = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(ik),
+                "start": pa.array(istart * us, type=pa.timestamp("us")),
+                "iid": pa.array(iid),
+            }
+        )
+    )
+    out = (
+        range_join_count(
+            points, intervals, by="k", point_ts="ts",
+            interval_start="start", window_sec=w, interval_id="iid",
+        )
+        .to_pandas()
+        .sort_values("iid")
+        .reset_index(drop=True)
+    )
+    want = np.array(
+        [
+            np.sum((pk == k) & (pt >= s) & (pt < s + w))
+            for k, s in zip(ik, istart)
+        ],
+        dtype=np.int64,
+    )
+    assert out["iid"].tolist() == iid.tolist()  # every interval present
+    assert np.array_equal(out["n_points"].to_numpy(), want)
+    assert (want == 0).any()  # zero-match intervals exercised
