@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_orders_events": q.range_join_orders_events,
         "events_above_p99": q.events_above_p99,
         "tfidf_top_terms_docs": q.tfidf_top_terms_docs,
+        # fuzzy record linkage: blocking + edit-distance verify
+        "fuzzy_match_parts": q.fuzzy_match_parts,
     }
 
 
@@ -848,5 +850,17 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score_micro DESC, tf.token
             ) <= 3
             ORDER BY tf.doc_id, score_micro DESC, tf.token
+        """,
+        # fuzzy record linkage: same-brand blocking + exact Levenshtein
+        # (ASCII column, so DuckDB's byte-edit distance == the engine's
+        # codepoint-edit distance; equality pinned by pytest)
+        "fuzzy_match_parts": """
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   levenshtein(a.p_name, b.p_name) AS dist
+            FROM part a
+            JOIN part b ON a.p_brand = b.p_brand
+                       AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+            ORDER BY id_a, id_b
         """,
     }

@@ -1481,3 +1481,22 @@ def tfidf_top_terms_docs(sf_dir: str) -> pd.DataFrame:
         ["doc_id", "score_micro", "token"],
         ascending=[True, False, True],
     ).reset_index(drop=True)
+
+
+def fuzzy_match_parts(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy record linkage over the part table: block by p_brand,
+    verify candidate pairs with exact Levenshtein over p_name ≤ 3
+    (stages/linkage.py — blocking + pair-vectorized edit-distance DP).
+    The fuzzy generalization of the reference's exact-hash record
+    dedup; the oracle recomputes every within-brand pair with DuckDB's
+    levenshtein (byte==codepoint on this ASCII column)."""
+    from deduper_ray.stages.linkage import fuzzy_block_pairs
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_name", "p_brand"]
+    )
+    out = fuzzy_block_pairs(
+        ds, block_col="p_brand", compare_col="p_name",
+        id_col="p_partkey", max_distance=3,
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

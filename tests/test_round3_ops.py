@@ -13,6 +13,7 @@ import pytest
 import ray.data as rd
 
 from deduper_ray.stages.exact import dedupe_keep_best
+from deduper_ray.stages.linkage import fuzzy_block_pairs, levenshtein_batch
 from deduper_ray.stages.relational import _lex_insert_left, range_join_count
 from deduper_ray.stages.simhash_nd import hamming64, simhash_neardup
 from deduper_ray.stages.window import window_dedupe
@@ -243,3 +244,98 @@ def test_range_join_count_matches_bruteforce():
     assert out["iid"].tolist() == iid.tolist()  # every interval present
     assert np.array_equal(out["n_points"].to_numpy(), want)
     assert (want == 0).any()  # zero-match intervals exercised
+
+
+# ----------------------------------------------------- fuzzy linkage
+
+
+def _ref_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+                prev[j] + 1,
+                cur[j - 1] + 1,
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_batch_matches_reference_and_duckdb_ascii():
+    import random
+
+    import duckdb
+
+    rng = random.Random(5)
+    alpha = "abcdef gh"
+    pairs = [
+        (
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 15))),
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 15))),
+        )
+        for _ in range(200)
+    ] + [("", ""), ("abc", ""), ("", "xyz"), ("kitten", "sitting")]
+    got = levenshtein_batch([a for a, _ in pairs], [b for _, b in pairs])
+    assert list(got) == [_ref_levenshtein(a, b) for a, b in pairs]
+    con = duckdb.connect()
+    db = [
+        con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for a, b in pairs
+    ]
+    assert list(got) == db  # ASCII parity with the oracle function
+
+
+def test_levenshtein_batch_codepoint_semantics_unicode():
+    pairs = [("日本", "日木"), ("café", "cafe"), ("é", ""), ("ab日", "ab")]
+    got = levenshtein_batch([a for a, _ in pairs], [b for _, b in pairs])
+    assert list(got) == [_ref_levenshtein(a, b) for a, b in pairs]
+    assert list(got) == [1, 1, 1, 1]  # character edits, not byte edits
+
+
+def test_fuzzy_block_pairs_matches_bruteforce():
+    rows = [
+        # block X: names within small edit distances
+        (1, "X", "cold widget"),
+        (2, "X", "bold widget"),
+        (3, "X", "cold widgets"),
+        (4, "X", "completely different"),
+        # block Y: a pair and a singleton far away
+        (5, "Y", "blue rod"),
+        (6, "Y", "glue rod"),
+        (7, "Y", "zzzzzzzzzzzzzz"),
+        # block Z: single row → no pairs
+        (8, "Z", "alone"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "blk": [r[1] for r in rows],
+                "name": [r[2] for r in rows],
+            }
+        )
+    )
+    out = (
+        fuzzy_block_pairs(
+            ds, block_col="blk", compare_col="name", id_col="id",
+            max_distance=2,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][1] != rows[j][1]:
+                continue
+            d = _ref_levenshtein(rows[i][2], rows[j][2])
+            if d <= 2:
+                want.append((rows[i][0], rows[j][0], d))
+    got = list(
+        zip(out["id_a"].tolist(), out["id_b"].tolist(), out["dist"].tolist())
+    )
+    assert got == sorted(want)
+    assert (1, 2, 1) in got and (5, 6, 1) in got
