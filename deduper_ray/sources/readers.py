@@ -43,7 +43,10 @@ def _expand_paths(source: str | list[str]) -> list[str]:
         return sorted(
             os.path.join(source, f)
             for f in os.listdir(source)
-            if f.endswith((".parquet", ".csv", ".txt", ".tsv"))
+            if f.endswith(
+                (".parquet", ".csv", ".txt", ".tsv", ".jsonl", ".ndjson",
+                 ".orc")
+            )
         )
     if any(c in source for c in "*?["):
         return sorted(_glob.glob(source))
@@ -179,6 +182,39 @@ def read_table(
             )
         return ds
     files = _expand_paths(source)
+    if files and files[0].endswith((".jsonl", ".ndjson")):
+        # NDJSON source (training-data interchange; sources/jsonl_io.py)
+        from deduper_ray.sources.jsonl_io import read_jsonl_with_row_ids
+
+        ds = read_jsonl_with_row_ids(
+            files, columns=columns, row_id_column=row_id_column
+        )
+        if order_by and order_by != row_id_column:
+            import pyarrow.compute as pc
+
+            ds = ds.map_batches(
+                lambda t: t.drop_columns([row_id_column]).append_column(
+                    row_id_column, pc.cast(t[order_by], pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+        return ds
+    if files and files[0].endswith(".orc"):
+        from deduper_ray.sources.orc_io import read_orc_with_row_ids
+
+        ds = read_orc_with_row_ids(
+            files, columns=columns, row_id_column=row_id_column
+        )
+        if order_by and order_by != row_id_column:
+            import pyarrow.compute as pc
+
+            ds = ds.map_batches(
+                lambda t: t.drop_columns([row_id_column]).append_column(
+                    row_id_column, pc.cast(t[order_by], pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+        return ds
     if files and files[0].endswith((".csv", ".txt", ".tsv")):
         # CSV parity mode (reference S2): all-string columns
         from deduper_ray.sources.csv_io import read_csv_with_row_ids
