@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": q.tfidf_top_terms_docs,
         # fuzzy record linkage: blocking + edit-distance verify
         "fuzzy_match_parts": q.fuzzy_match_parts,
+        "snm_pairs_parts": q.snm_pairs_parts,
     }
 
 
@@ -862,5 +863,21 @@ def oracle_sql() -> dict[str, str]:
                        AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 3
             ORDER BY id_a, id_b
+        """,
+        # sorted-neighborhood blocking: rank window 5 over the global
+        # (p_name, p_partkey) order, Levenshtein <= 3 verify; id_a is
+        # the lower-RANK row on both sides
+        "snm_pairs_parts": """
+            WITH r AS (
+                SELECT p_partkey, p_name,
+                       row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+                FROM part
+            )
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS rank_dist,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+            ORDER BY id_a, id_b, rank_dist
         """,
     }

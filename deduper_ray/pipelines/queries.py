@@ -1500,3 +1500,22 @@ def fuzzy_match_parts(sf_dir: str) -> pd.DataFrame:
         id_col="p_partkey", max_distance=3,
     ).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def snm_pairs_parts(sf_dir: str) -> pd.DataFrame:
+    """Sorted-neighborhood record linkage over part names: rank window
+    5 under ORDER BY (p_name, p_partkey), Levenshtein ≤ 3 verify
+    (stages/linkage.py sorted_neighborhood_pairs — global sort +
+    per-block offset scan + fringe stitching on the driver)."""
+    from deduper_ray.stages.linkage import sorted_neighborhood_pairs
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_name"]
+    )
+    out = sorted_neighborhood_pairs(
+        ds, sort_col="p_name", id_col="p_partkey", window=5,
+        max_distance=3,
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b", "rank_dist"]).reset_index(
+        drop=True
+    )

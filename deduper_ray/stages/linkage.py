@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
@@ -147,3 +148,231 @@ def _empty() -> pa.Table:
             "dist": pa.array([], type=pa.int64()),
         }
     )
+
+
+def sorted_neighborhood_pairs(
+    ds: rd.Dataset,
+    *,
+    sort_col: str,
+    id_col: str,
+    window: int,
+    max_distance: int | None = None,
+) -> "pa.Table | rd.Dataset":
+    """Sorted-neighborhood blocking (Hernández-Stolfo): order the
+    corpus by (sort_col, id_col) and pair every row with its next
+    ``window`` neighbors in that order; optionally verify with exact
+    Levenshtein over ``sort_col`` ≤ ``max_distance``.
+
+    The second classic record-linkage blocking scheme, complementary
+    to :func:`fuzzy_block_pairs`: key blocking misses matches whose
+    blocking key disagrees; sorted-neighborhood catches near-misses
+    that SORT adjacently. Returns (id_a, id_b, rank_dist[, dist]) with
+    id_a the lower-RANK row.
+
+    Distributed shape: one global sort; per sorted block, interior
+    pairs are emitted with a vectorized offset scan; each block also
+    emits its first/last ``window`` rows + its row count as METADATA,
+    and the driver stitches cross-block pairs from those fringes —
+    O(window × #blocks) driver rows, never data-sized (the
+    stitch_fragment_pairs pattern from stages/lsh.py). Any pair within
+    rank distance ``window`` spans at most the fringes of its blocks,
+    so the union of interior + stitched pairs is exactly the
+    rank-window pair set.
+    """
+    import pandas as pd
+
+    sorted_ds = ds.map_batches(
+        lambda t: t.select([sort_col, id_col]), batch_format="pyarrow"
+    ).sort([sort_col, id_col])
+
+    def _scan(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty_meta = {
+            "kind": pa.array([], type=pa.int8()),
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "rank_dist": pa.array([], type=pa.int64()),
+            "dist": pa.array([], type=pa.int64()),
+            "_sort": pa.array([], type=pa.string()),
+            "_id": pa.array([], type=pa.int64()),
+            "_pos": pa.array([], type=pa.int64()),
+            "_cnt": pa.array([], type=pa.int64()),
+        }
+        if n == 0:
+            return pa.table(empty_meta)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        col = t[sort_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = [s or "" for s in col.to_pylist()]
+        # interior pairs: offsets 1..window, vectorized per offset
+        ia_parts, ib_parts, rd_parts = [], [], []
+        for d in range(1, window + 1):
+            if n - d <= 0:
+                break
+            i = np.arange(n - d)
+            ia_parts.append(i)
+            ib_parts.append(i + d)
+            rd_parts.append(np.full(n - d, d, dtype=np.int64))
+        if ia_parts:
+            ia = np.concatenate(ia_parts)
+            ib = np.concatenate(ib_parts)
+            rdist = np.concatenate(rd_parts)
+            if max_distance is not None:
+                dist = levenshtein_batch(
+                    [texts[i] for i in ia], [texts[j] for j in ib]
+                )
+                keep = dist <= max_distance
+                ia, ib, rdist, dist = ia[keep], ib[keep], rdist[keep], dist[keep]
+            else:
+                dist = np.full(ia.size, -1, dtype=np.int64)
+        else:
+            ia = ib = rdist = dist = np.empty(0, dtype=np.int64)
+        npairs = ia.size
+        # fringe metadata: first/last `window` positions (deduped)
+        fringe = sorted(
+            set(range(min(window, n))) | set(range(max(n - window, 0), n))
+        )
+        fr = np.array(fringe, dtype=np.int64)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(npairs, np.int8), np.ones(fr.size, np.int8)]
+                    )
+                ),
+                "id_a": pa.array(
+                    np.concatenate([ids[ia], np.zeros(fr.size, np.int64)]),
+                    type=pa.int64(),
+                ),
+                "id_b": pa.array(
+                    np.concatenate([ids[ib], np.zeros(fr.size, np.int64)]),
+                    type=pa.int64(),
+                ),
+                "rank_dist": pa.array(
+                    np.concatenate([rdist, np.zeros(fr.size, np.int64)]),
+                    type=pa.int64(),
+                ),
+                "dist": pa.array(
+                    np.concatenate([dist, np.zeros(fr.size, np.int64)]),
+                    type=pa.int64(),
+                ),
+                "_sort": pa.array(
+                    [""] * npairs + [texts[int(i)] for i in fr],
+                    type=pa.string(),
+                ),
+                "_id": pa.array(
+                    np.concatenate([np.zeros(npairs, np.int64), ids[fr]]),
+                    type=pa.int64(),
+                ),
+                "_pos": pa.array(
+                    np.concatenate([np.zeros(npairs, np.int64), fr]),
+                    type=pa.int64(),
+                ),
+                "_cnt": pa.array(
+                    np.full(npairs + fr.size, n, dtype=np.int64)
+                ),
+            }
+        )
+
+    scanned = sorted_ds.map_batches(
+        _scan, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    interior = scanned.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(
+            ["id_a", "id_b", "rank_dist", "dist"]
+        ),
+        batch_format="pyarrow",
+    )
+    fringes = scanned.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)).select(
+            ["_sort", "_id", "_pos", "_cnt"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+
+    # driver stitch: order fringe rows globally; global rank of a
+    # fringe row = (rows of earlier blocks) + _pos. Blocks are
+    # range-disjoint under the strict (sort, id) order, so ordering
+    # blocks by their min fringe row IS block order.
+    stitched_rows = []
+    if len(fringes):
+        fringes = fringes.sort_values(["_sort", "_id"]).reset_index(drop=True)
+        # recover block identity: a block's fringe rows share _cnt and
+        # are contiguous in global order; group by cumulative offsets
+        # via (first row of each block = _pos it claims). Simpler:
+        # blocks ordered by min row — reconstruct by walking rows in
+        # order and starting a new block whenever _pos resets below
+        # the previous _pos (positions within a block are ascending).
+        blocks: list[pd.DataFrame] = []
+        prev_pos = None
+        start = 0
+        for i, p in enumerate(fringes["_pos"].tolist()):
+            if prev_pos is not None and p <= prev_pos:
+                blocks.append(fringes.iloc[start:i])
+                start = i
+            prev_pos = p
+        blocks.append(fringes.iloc[start:])
+        base = 0
+        granks, gids, gtexts = [], [], []
+        for blk in blocks:
+            granks.extend((base + blk["_pos"]).tolist())
+            gids.extend(blk["_id"].tolist())
+            gtexts.extend(blk["_sort"].tolist())
+            base += int(blk["_cnt"].iloc[0])
+        block_of = np.repeat(
+            np.arange(len(blocks)), [len(b) for b in blocks]
+        )
+        granks = np.array(granks, dtype=np.int64)
+        order = np.argsort(granks)
+        granks, block_of = granks[order], block_of[order]
+        gids = np.array(gids, dtype=np.int64)[order]
+        gtexts = [gtexts[int(i)] for i in order]
+        pa_, pb_ = [], []
+        for i in range(granks.size):
+            for j in range(i + 1, granks.size):
+                rd_ = granks[j] - granks[i]
+                if rd_ > window:
+                    break
+                if block_of[i] == block_of[j]:
+                    continue  # interior pair, already emitted
+                pa_.append(i)
+                pb_.append(j)
+        if pa_:
+            d = levenshtein_batch(
+                [gtexts[i] for i in pa_], [gtexts[j] for j in pb_]
+            )
+            for i, j, dd in zip(pa_, pb_, d):
+                if max_distance is not None and dd > max_distance:
+                    continue
+                stitched_rows.append(
+                    {
+                        "id_a": int(gids[i]),
+                        "id_b": int(gids[j]),
+                        "rank_dist": int(granks[j] - granks[i]),
+                        "dist": int(dd) if max_distance is not None else -1,
+                    }
+                )
+
+    out = interior
+    if stitched_rows:
+        out = out.union(
+            rd.from_arrow(
+                pa.Table.from_pylist(
+                    stitched_rows,
+                    schema=pa.schema(
+                        [
+                            ("id_a", pa.int64()),
+                            ("id_b", pa.int64()),
+                            ("rank_dist", pa.int64()),
+                            ("dist", pa.int64()),
+                        ]
+                    ),
+                )
+            )
+        )
+    if max_distance is None:
+        out = out.map_batches(
+            lambda t: t.drop_columns(["dist"]), batch_format="pyarrow"
+        )
+    return out

@@ -339,3 +339,40 @@ def test_fuzzy_block_pairs_matches_bruteforce():
     )
     assert got == sorted(want)
     assert (1, 2, 1) in got and (5, 6, 1) in got
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 13])
+def test_sorted_neighborhood_pairs_matches_bruteforce(nparts):
+    """Window pairs under the global (name, id) order equal the brute
+    force at EVERY partitioning — nparts=13 puts ~15 rows per block
+    (window 4), exercising the cross-block fringe stitch heavily."""
+    import random
+
+    from deduper_ray.stages.linkage import sorted_neighborhood_pairs
+
+    rng = random.Random(9)
+    names = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(3, 8)))
+        for _ in range(200)
+    ]
+    ids = list(range(1000, 1200))
+    rng.shuffle(ids)
+    ds = rd.from_arrow(
+        pa.table({"name": names, "pid": pa.array(ids, type=pa.int64())})
+    ).repartition(nparts)
+    W, D = 4, 3
+    out = sorted_neighborhood_pairs(
+        ds, sort_col="name", id_col="pid", window=W, max_distance=D
+    ).to_pandas()
+    got = sorted(
+        zip(out["id_a"], out["id_b"], out["rank_dist"], out["dist"])
+    )
+    order = sorted(range(200), key=lambda i: (names[i], ids[i]))
+    want = []
+    for r in range(200):
+        for s in range(r + 1, min(r + W + 1, 200)):
+            i, j = order[r], order[s]
+            d = _ref_levenshtein(names[i], names[j])
+            if d <= D:
+                want.append((ids[i], ids[j], s - r, d))
+    assert got == sorted(want)
