@@ -101,7 +101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": q.tfidf_top_terms_docs,
         # fuzzy record linkage: blocking + edit-distance verify
         "fuzzy_match_parts": q.fuzzy_match_parts,
+        "fuzzy_match_parts_jw": q.fuzzy_match_parts_jw,
         "snm_pairs_parts": q.snm_pairs_parts,
+        # grouped sequence assembly + pivot/crosstab
+        "user_event_sequences": q.user_event_sequences,
+        "pivot_user_event_counts": q.pivot_user_event_counts,
     }
 
 
@@ -864,6 +868,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(a.p_name, b.p_name) <= 3
             ORDER BY id_a, id_b
         """,
+        # Jaro-Winkler variant (engine jaro_winkler is the DuckDB-
+        # parity construction: window max(len)//2-1, prefix bonus only
+        # when jaro > 0.7, empty-string -> 0.0; bit-equal on ASCII)
+        "fuzzy_match_parts_jw": """
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+                       AS sim
+            FROM part a
+            JOIN part b ON a.p_brand = b.p_brand
+                       AND a.p_partkey < b.p_partkey
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+            ORDER BY id_a, id_b
+        """,
         # sorted-neighborhood blocking: rank window 5 over the global
         # (p_name, p_partkey) order, Levenshtein <= 3 verify; id_a is
         # the lower-RANK row on both sides
@@ -879,5 +896,27 @@ def oracle_sql() -> dict[str, str]:
             FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
             WHERE levenshtein(a.p_name, b.p_name) <= 3
             ORDER BY id_a, id_b, rank_dist
+        """,
+        # grouped sequence assembly (ordered string_agg per user)
+        "user_event_sequences": """
+            SELECT user_id, count(*) AS n_events,
+                   string_agg(event_type, ','
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # pivot via conditional aggregation (one wide row per user)
+        "pivot_user_event_counts": """
+            SELECT user_id, count(*) AS n_total,
+                   CAST(sum((event_type = 'click')::BIGINT) AS BIGINT)
+                       AS n_click,
+                   CAST(sum((event_type = 'error')::BIGINT) AS BIGINT)
+                       AS n_error,
+                   CAST(sum((event_type = 'purchase')::BIGINT) AS BIGINT)
+                       AS n_purchase,
+                   CAST(sum((event_type = 'signup')::BIGINT) AS BIGINT)
+                       AS n_signup,
+                   CAST(sum((event_type = 'view')::BIGINT) AS BIGINT)
+                       AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
     }

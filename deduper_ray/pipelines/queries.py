@@ -1502,6 +1502,89 @@ def fuzzy_match_parts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def fuzzy_match_parts_jw(sf_dir: str) -> pd.DataFrame:
+    """Record linkage with the Jaro-Winkler metric: same brand
+    blocking as fuzzy_match_parts, verify sim ≥ 0.9 (stages/linkage.py
+    jaro_winkler — DuckDB-parity variant, bit-equal on ASCII pairs,
+    pinned by pytest). Rounded to 6 dp after filtering on the raw
+    value, identically on both sides."""
+    from deduper_ray.stages.linkage import fuzzy_block_pairs
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_name", "p_brand"]
+    )
+    out = fuzzy_block_pairs(
+        ds, block_col="p_brand", compare_col="p_name",
+        id_col="p_partkey", min_similarity=0.9,
+    ).to_pandas()
+    out["sim"] = out["sim"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def user_event_sequences(sf_dir: str) -> pd.DataFrame:
+    """Per-user ordered event-type sequence (string_agg ORDER BY ts,
+    event_id) — grouped sequence assembly, the session-mining shape.
+    One keyed shuffle of narrow rows; per-group assembly is a sort +
+    join inside the grouped task, no driver state."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"]
+    )
+
+    def _seq(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        types = g["event_type"].take(order).to_pylist()
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [g["user_id"][0].as_py()], type=pa.int64()
+                ),
+                "n_events": pa.array([g.num_rows], type=pa.int64()),
+                "seq": pa.array([",".join(types)], type=pa.string()),
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(_seq, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def pivot_user_event_counts(sf_dir: str) -> pd.DataFrame:
+    """Pivot/crosstab: events per user × event_type as one wide row per
+    user. Vectorized indicator columns inside map_batches + ONE native
+    groupby-sum — the distributed conditional-aggregation form of
+    PIVOT (no per-category shuffle)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    cats = ["click", "error", "purchase", "signup", "view"]
+
+    def _indicators(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for c in cats:
+            cols[f"n_{c}"] = pc.cast(
+                pc.equal(t["event_type"], c), pa.int64()
+            )
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{c}", alias_name=f"n_{c}") for c in cats]
+    out = (
+        ds.map_batches(_indicators, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_total"), *aggs)
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "n_total"] + [f"n_{c}" for c in cats]
+    ]
+
+
 def snm_pairs_parts(sf_dir: str) -> pd.DataFrame:
     """Sorted-neighborhood record linkage over part names: rank window
     5 under ORDER BY (p_name, p_partkey), Levenshtein ≤ 3 verify

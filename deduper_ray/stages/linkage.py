@@ -83,22 +83,86 @@ def levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
     return out
 
 
+def jaro_winkler(a: str, b: str) -> float:
+    """Jaro-Winkler similarity, DuckDB-parity variant (pinned by test):
+    match window ``max(len)//2 - 1``, transpositions ``t//2``, Winkler
+    prefix bonus (≤4 chars, p=0.1) applied only when Jaro > 0.7, and
+    0.0 when EITHER string is empty (including both — DuckDB's
+    convention, not the textbook 1.0).
+
+    Per-pair Python over short strings — a verify-stage metric bounded
+    by candidate-pair volume (like the suffix-array containment check),
+    not a corpus-scan kernel; use :func:`levenshtein_batch` when the
+    metric must be vectorized."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    md = max(max(la, lb) // 2 - 1, 0)
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo, hi = max(0, i - md), min(lb, i + md + 1)
+        for j in range(lo, hi):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    j = (m / la + m / lb + (m - t // 2) / m) / 3
+    if j > 0.7:
+        prefix = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            prefix += 1
+        j += prefix * 0.1 * (1 - j)
+    return j
+
+
+def jaro_winkler_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """Jaro-Winkler for each (a[i], b[i]) pair."""
+    return np.array(
+        [jaro_winkler(x or "", y or "") for x, y in zip(a, b)],
+        dtype=np.float64,
+    )
+
+
 def fuzzy_block_pairs(
     ds: rd.Dataset,
     *,
     block_col: str,
     compare_col: str,
     id_col: str,
-    max_distance: int,
+    max_distance: int | None = None,
+    min_similarity: float | None = None,
     max_block: int | None = None,
 ) -> rd.Dataset:
-    """All within-block pairs with Levenshtein(compare) ≤ max_distance.
+    """All within-block pairs that pass the string-metric verify:
+    Levenshtein(compare) ≤ ``max_distance`` (output column ``dist``,
+    int64) or Jaro-Winkler(compare) ≥ ``min_similarity`` (output column
+    ``sim``, float64) — exactly one of the two must be given.
 
-    Returns (id_a, id_b, dist) with id_a < id_b, exactly distinct
+    Returns (id_a, id_b, dist|sim) with id_a < id_b, exactly distinct
     (each pair exists in exactly one block). ``max_block`` strides
     oversized blocks (documented recall loss) — leave None for exact
     semantics on well-chosen blocking keys.
     """
+    if (max_distance is None) == (min_similarity is None):
+        raise ValueError(
+            "give exactly one of max_distance / min_similarity"
+        )
+    use_lev = max_distance is not None
 
     def _pairs(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False)
@@ -115,19 +179,26 @@ def fuzzy_block_pairs(
         if max_block is not None and n > max_block:
             ids, texts, n = ids[:max_block], texts[:max_block], max_block
         if n < 2:
-            return _empty()
+            return _empty(use_lev)
         ia, ib = np.triu_indices(n, k=1)
-        d = levenshtein_batch(
-            [texts[i] for i in ia], [texts[j] for j in ib]
-        )
-        keep = d <= max_distance
+        ta = [texts[i] for i in ia]
+        tb = [texts[j] for j in ib]
+        if use_lev:
+            d = levenshtein_batch(ta, tb)
+            keep = d <= max_distance
+        else:
+            d = jaro_winkler_batch(ta, tb)
+            keep = d >= min_similarity
         if not keep.any():
-            return _empty()
+            return _empty(use_lev)
+        score = pa.array(
+            d[keep], type=pa.int64() if use_lev else pa.float64()
+        )
         return pa.table(
             {
                 "id_a": pa.array(ids[ia[keep]], type=pa.int64()),
                 "id_b": pa.array(ids[ib[keep]], type=pa.int64()),
-                "dist": pa.array(d[keep], type=pa.int64()),
+                ("dist" if use_lev else "sim"): score,
             }
         )
 
@@ -140,12 +211,14 @@ def fuzzy_block_pairs(
     )
 
 
-def _empty() -> pa.Table:
+def _empty(use_lev: bool = True) -> pa.Table:
     return pa.table(
         {
             "id_a": pa.array([], type=pa.int64()),
             "id_b": pa.array([], type=pa.int64()),
-            "dist": pa.array([], type=pa.int64()),
+            ("dist" if use_lev else "sim"): pa.array(
+                [], type=pa.int64() if use_lev else pa.float64()
+            ),
         }
     )
 

@@ -341,6 +341,51 @@ def test_fuzzy_block_pairs_matches_bruteforce():
     assert (1, 2, 1) in got and (5, 6, 1) in got
 
 
+def test_jaro_winkler_matches_duckdb():
+    import random
+
+    import duckdb
+
+    from deduper_ray.stages.linkage import jaro_winkler
+
+    rng = random.Random(1)
+    con = duckdb.connect()
+    pairs = [
+        (
+            "".join(rng.choice("abcd ef") for _ in range(rng.randint(0, 10))),
+            "".join(rng.choice("abcd ef") for _ in range(rng.randint(0, 10))),
+        )
+        for _ in range(400)
+    ] + [("", ""), ("a", ""), ("martha", "marhta"), ("dixon", "dicksonx")]
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(jaro_winkler(a, b) - want) < 1e-12, (a, b)
+
+
+def test_fuzzy_block_pairs_jw_mode():
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], type=pa.int64()),
+                "blk": ["X", "X", "X"],
+                "name": ["martha stone", "marhta stone", "zzzz"],
+            }
+        )
+    )
+    out = fuzzy_block_pairs(
+        ds, block_col="blk", compare_col="name", id_col="id",
+        min_similarity=0.9,
+    ).to_pandas()
+    assert out["id_a"].tolist() == [1] and out["id_b"].tolist() == [2]
+    assert out["sim"].iloc[0] > 0.9
+    with pytest.raises(ValueError):
+        fuzzy_block_pairs(
+            ds, block_col="blk", compare_col="name", id_col="id"
+        )
+
+
 @pytest.mark.parametrize("nparts", [1, 3, 13])
 def test_sorted_neighborhood_pairs_matches_bruteforce(nparts):
     """Window pairs under the global (name, id) order equal the brute
