@@ -341,6 +341,31 @@ def test_fuzzy_block_pairs_matches_bruteforce():
     assert (1, 2, 1) in got and (5, 6, 1) in got
 
 
+def test_add_compression_ratio_bounds_and_monotonicity():
+    import zlib
+
+    from deduper_ray.functions.text import add_compression_ratio
+
+    repetitive = "spam and eggs " * 200
+    prose = (
+        "A different observation appears in every clause of this text, "
+        "so deflate finds few long repeats beyond common English bigrams "
+        "and the dictionary stays cold throughout the paragraph window."
+    )
+    t = pa.table(
+        {
+            "text": [repetitive, prose, "", "x"],
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        }
+    )
+    out = add_compression_ratio(t)
+    r = out["compression_ratio"].to_pylist()
+    assert r[0] < 0.1 < r[1]  # repetition compresses far better
+    assert r[2] == 1.0  # empty → neutral
+    assert r[3] == len(zlib.compress(b"x", 6)) / 1  # exact per-doc value
+    assert all(v > 0 for v in r)
+
+
 def test_jaro_winkler_matches_duckdb():
     import random
 
