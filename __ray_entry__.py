@@ -103,9 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_parts": q.fuzzy_match_parts,
         "fuzzy_match_parts_jw": q.fuzzy_match_parts_jw,
         "snm_pairs_parts": q.snm_pairs_parts,
-        # grouped sequence assembly + pivot/crosstab
+        # grouped sequence assembly + pivot/crosstab + rollup
         "user_event_sequences": q.user_event_sequences,
         "pivot_user_event_counts": q.pivot_user_event_counts,
+        "rollup_event_value": q.rollup_event_value,
     }
 
 
@@ -918,5 +919,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((event_type = 'view')::BIGINT) AS BIGINT)
                        AS n_view
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # ROLLUP levels: (type, hour), (type), (); milli-unit-exact sums
+        "rollup_event_value": """
+            SELECT event_type,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                              AS DOUBLE) / 1000.0, 6) AS sum_value
+            FROM events GROUP BY ROLLUP (event_type, hour(ts))
+            ORDER BY event_type NULLS FIRST, hour NULLS FIRST
         """,
     }

@@ -1502,6 +1502,61 @@ def fuzzy_match_parts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def rollup_event_value(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP/GROUPING SETS coverage: event count + exact milli-unit
+    value sum at three levels — (event_type, hour-of-day), (event_type),
+    and the grand total — as a union of three independent groupbys
+    (each one narrow pre-aggregated shuffle; the levels are disjoint
+    output rows, so no cross-level exchange). NULL group columns mark
+    the rolled-up levels, like SQL ROLLUP."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.cast(
+                    pc.hour(t["ts"]), pa.int64()
+                ),
+                "value_m": pa.array(
+                    _cents(t["value"], 1000), type=pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _level(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            agg = ds.groupby(keys).aggregate(
+                Count(alias_name="n"), Sum("value_m", alias_name="sum_m")
+            )
+            df = dataset_to_table(agg).to_pandas()
+        else:
+            df = pd.DataFrame(
+                {"n": [ds.count()], "sum_m": [int(ds.sum("value_m") or 0)]}
+            )
+        for c in ("event_type", "hour"):
+            if c not in df.columns:
+                df[c] = None
+        return df[["event_type", "hour", "n", "sum_m"]]
+
+    out = pd.concat(
+        [_level(["event_type", "hour"]), _level(["event_type"]), _level([])],
+        ignore_index=True,
+    )
+    # float64 with NaN for rolled-up levels — the dtype a NULLABLE int
+    # arrives as from SQL, so both sides render identically
+    out["hour"] = out["hour"].astype("float64")
+    out["sum_value"] = (out["sum_m"] / 1000.0).round(6)
+    out = out.drop(columns=["sum_m"])
+    return out.sort_values(
+        ["event_type", "hour"], na_position="first"
+    ).reset_index(drop=True)
+
+
 def fuzzy_match_parts_jw(sf_dir: str) -> pd.DataFrame:
     """Record linkage with the Jaro-Winkler metric: same brand
     blocking as fuzzy_match_parts, verify sim ≥ 0.9 (stages/linkage.py
