@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_parts": q.fuzzy_match_parts,
         "fuzzy_match_parts_jw": q.fuzzy_match_parts_jw,
         "snm_pairs_parts": q.snm_pairs_parts,
+        "entity_resolution_parts": q.entity_resolution_parts,
         # grouped sequence assembly + pivot/crosstab + rollup
         "user_event_sequences": q.user_event_sequences,
         "pivot_user_event_counts": q.pivot_user_event_counts,
@@ -881,6 +882,31 @@ def oracle_sql() -> dict[str, str]:
                        AND a.p_partkey < b.p_partkey
             WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
             ORDER BY id_a, id_b
+        """,
+        # entity resolution composition: brand blocking + levenshtein<=2
+        # edges + recursive transitive closure; canonical = min member
+        "entity_resolution_parts": """
+            WITH RECURSIVE edges AS (
+                SELECT a.p_partkey AS ia, b.p_partkey AS ib
+                FROM part a
+                JOIN part b ON a.p_brand = b.p_brand
+                           AND a.p_partkey < b.p_partkey
+                WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ),
+            sym AS (
+                SELECT ia AS a, ib AS b FROM edges
+                UNION SELECT ib, ia FROM edges
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT p.p_partkey,
+                   least(p.p_partkey,
+                         coalesce(min(r.b), p.p_partkey)) AS canonical_id
+            FROM part p LEFT JOIN reach r ON r.a = p.p_partkey
+            GROUP BY p.p_partkey ORDER BY p.p_partkey
         """,
         # sorted-neighborhood blocking: rank window 5 over the global
         # (p_name, p_partkey) order, Levenshtein <= 3 verify; id_a is

@@ -1640,6 +1640,50 @@ def pivot_user_event_counts(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def entity_resolution_parts(sf_dir: str) -> pd.DataFrame:
+    """End-to-end entity resolution: brand blocking → Levenshtein ≤ 2
+    verify → connected components → canonical id (min member) per
+    entity — the full record-linkage composition over the part table
+    (blocking from stages/linkage.py, clustering from
+    state/unionfind.py). Every part appears once; unmatched parts are
+    their own canonical record."""
+    from deduper_ray.stages.linkage import fuzzy_block_pairs
+    from deduper_ray.state.unionfind import cluster_edges_table
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_name", "p_brand"]
+    )
+    pairs = fuzzy_block_pairs(
+        ds, block_col="p_brand", compare_col="p_name",
+        id_col="p_partkey", max_distance=2,
+    )
+    labels = cluster_edges_table(pairs, id_column="p_partkey")
+    lab_sorted = labels.sort_by("p_partkey")
+    lk = lab_sorted["p_partkey"].to_numpy()
+    lv = lab_sorted["cluster_id"].to_numpy()
+    lab_ref = ray.put({"keys": lk, "labels": lv})
+
+    def _canon(t: pa.Table) -> pa.Table:
+        m = ray.get(lab_ref)
+        ids = t["p_partkey"].to_numpy(zero_copy_only=False)
+        canon = ids.copy()
+        if m["keys"].size:
+            pos = np.minimum(
+                np.searchsorted(m["keys"], ids), m["keys"].size - 1
+            )
+            hit = m["keys"][pos] == ids
+            canon[hit] = m["labels"][pos[hit]]
+        return pa.table(
+            {
+                "p_partkey": pa.array(ids, type=pa.int64()),
+                "canonical_id": pa.array(canon, type=pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_canon, batch_format="pyarrow").to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 def snm_pairs_parts(sf_dir: str) -> pd.DataFrame:
     """Sorted-neighborhood record linkage over part names: rank window
     5 under ORDER BY (p_name, p_partkey), Levenshtein ≤ 3 verify
