@@ -86,6 +86,35 @@ def _bench_exact_dedup(sf_dir: str, out_root: str) -> dict:
             "dupes": report.dupe_count}
 
 
+def _bench_simhash_neardup(out_root: str) -> dict:
+    """SimHash Hamming clustering of the same 100k code_files corpus
+    (stages/simhash_nd.py) — the second near-dup family at volume."""
+    import time as _t
+
+    import ray.data as rd
+
+    from deduper_ray.sources.readers import read_parquet_with_row_ids
+    from deduper_ray.stages.minhash import make_signer_fn
+    from deduper_ray.stages.simhash_nd import simhash_neardup
+
+    src = _code_files_path()
+    t0 = _t.time()
+    ds = read_parquet_with_row_ids(src, columns=["content"])
+    signed = ds.map_batches(
+        make_signer_fn(num_perms=128, shingle_k=8, text_column="content"),
+        batch_size=512, batch_format="pyarrow",
+    ).map_batches(
+        lambda t: t.select(["row_id", "simhash"]), batch_format="pyarrow"
+    )
+    clusters = simhash_neardup(
+        signed, id_column="row_id", max_hamming=3, bands=4
+    )
+    n = clusters.count()
+    dt = _t.time() - t0
+    return {"sec": dt, "docs": BENCH_NDOCS, "clustered_rows": n,
+            "docs_per_sec": BENCH_NDOCS / dt}
+
+
 def _bench_queries(sf_dir: str) -> dict:
     from deduper_ray.pipelines import queries as q
 
@@ -155,6 +184,11 @@ def run_bench() -> dict:
             for i in range(BENCH_RUNS)
         ]
         ed = min(ed_runs, key=lambda r: r["sec"])
+        sh_runs = [
+            _bench_simhash_neardup(os.path.join(out_root, f"sh{i}"))
+            for i in range(BENCH_RUNS)
+        ]
+        sh = min(sh_runs, key=lambda r: r["sec"])
         qs_runs = [_bench_queries(SF_DIR) for _ in range(BENCH_RUNS)]
         qs = {k: min(r[k] for r in qs_runs) for k in qs_runs[0]}
         headline = nd["sec"] + ed["sec"]
@@ -165,6 +199,7 @@ def run_bench() -> dict:
             "queries": {
                 "neardup_documents": round(nd["sec"], 3),
                 "exact_dedup_lineitem": round(ed["sec"], 3),
+                "simhash_neardup_codefiles": round(sh["sec"], 3),
                 **qs,
             },
             "sf": SF_DIR,
@@ -173,9 +208,14 @@ def run_bench() -> dict:
             "dedup_rows_per_sec": round(ed["rows_per_sec"], 1),
             "neardup": {k: round(v, 3) if isinstance(v, float) else v
                         for k, v in nd.items()},
+            "simhash_neardup": {
+                k: round(v, 3) if isinstance(v, float) else v
+                for k, v in sh.items()
+            },
             "runs": {
                 "neardup_sec": [round(r["sec"], 3) for r in nd_runs],
                 "exact_dedup_sec": [round(r["sec"], 3) for r in ed_runs],
+                "simhash_sec": [round(r["sec"], 3) for r in sh_runs],
             },
         }
         return result
