@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequences": q.user_event_sequences,
         "pivot_user_event_counts": q.pivot_user_event_counts,
         "rollup_event_value": q.rollup_event_value,
+        # content-hash sampling + per-stratum dup-rate report
+        "hash_sample_docs": q.hash_sample_docs,
+        "dup_rate_by_lang": q.dup_rate_by_lang,
     }
 
 
@@ -955,5 +958,19 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE) / 1000.0, 6) AS sum_value
             FROM events GROUP BY ROLLUP (event_type, hour(ts))
             ORDER BY event_type NULLS FIRST, hour NULLS FIRST
+        """,
+        # content-hash Bernoulli sampling (same md5 low-8-bytes-LE
+        # convention as the simhash oracle)
+        "hash_sample_docs": """
+            SELECT * FROM documents
+            WHERE md5_number_lower(text) % 10 = 3
+            ORDER BY doc_id
+        """,
+        "dup_rate_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT text) AS n_distinct_texts,
+                   round(1.0 - count(DISTINCT text)::DOUBLE / count(*), 6)
+                       AS dup_ratio
+            FROM documents GROUP BY lang ORDER BY lang
         """,
     }

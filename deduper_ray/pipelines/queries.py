@@ -1502,6 +1502,71 @@ def fuzzy_match_parts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def hash_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """CONTENT-hash sampling: keep docs where md5_number_lower(text)
+    % 10 == 3 — deterministic Bernoulli-style sampling that is stable
+    under row-id reassignment / re-partitioning (unlike the id-modulus
+    sample_docs). Same md5-low-8-bytes-little-endian convention as the
+    simhash oracle (functions/text.py add_simhash_md5), so DuckDB
+    reproduces the decision bit-for-bit."""
+    import hashlib
+
+    from deduper_ray.functions.hashing import _utf8_slices
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        offsets, data = _utf8_slices(t["text"])
+        md5 = hashlib.md5
+        keep = np.fromiter(
+            (
+                int.from_bytes(md5(data[a:b]).digest()[8:16], "little") % 10
+                == 3
+                for a, b in zip(offsets, offsets[1:])
+            ),
+            dtype=bool,
+            count=t.num_rows,
+        )
+        return t.filter(pa.array(keep))
+
+    out = ds.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dup_rate_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Dedup observability: per-language doc count, distinct-text
+    count, and dup ratio — the per-stratum report a curation run reads
+    before choosing dedup strategy. One narrow (lang, hash) projection,
+    distinct-per-group via the per-hash stats groupby, then a tiny
+    per-lang aggregate."""
+    from ray.data.aggregate import Count
+
+    hashed = _docs_hashed(sf_dir, ("text",))
+    narrow = hashed.map_batches(
+        lambda t: t.select(["lang", HASH_COL]), batch_format="pyarrow"
+    )
+    per_hash = narrow.groupby(["lang", HASH_COL]).aggregate(
+        Count(alias_name="n_rows")
+    )
+    per_lang = dataset_to_table(
+        per_hash.groupby("lang").aggregate(
+            Count(alias_name="n_distinct_texts"),
+        )
+    ).to_pandas()
+    totals = dataset_to_table(
+        narrow.groupby("lang").aggregate(Count(alias_name="n_docs"))
+    ).to_pandas()
+    out = totals.merge(per_lang, on="lang")
+    out["dup_ratio"] = (
+        1.0 - out["n_distinct_texts"] / out["n_docs"]
+    ).round(6)
+    return (
+        out[["lang", "n_docs", "n_distinct_texts", "dup_ratio"]]
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
 def rollup_event_value(sf_dir: str) -> pd.DataFrame:
     """ROLLUP/GROUPING SETS coverage: event count + exact milli-unit
     value sum at three levels — (event_type, hour-of-day), (event_type),
