@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # content-hash sampling + per-stratum dup-rate report
         "hash_sample_docs": q.hash_sample_docs,
         "dup_rate_by_lang": q.dup_rate_by_lang,
+        # temporal sequence detection (funnel within a window)
+        "funnel_click_to_purchase": q.funnel_click_to_purchase,
     }
 
 
@@ -972,5 +974,21 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - count(DISTINCT text)::DOUBLE / count(*), 6)
                        AS dup_ratio
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # funnel: first purchase preceded by a click within 1 hour
+        "funnel_click_to_purchase": """
+            WITH c AS (
+                SELECT user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+                SELECT user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id,
+                   floor(epoch(min(p.ts)))::BIGINT AS first_conv_tsec
+            FROM c JOIN p ON p.user_id = c.user_id
+                         AND p.ts > c.ts
+                         AND p.ts <= c.ts + INTERVAL 1 HOUR
+            GROUP BY c.user_id ORDER BY c.user_id
         """,
     }

@@ -1502,6 +1502,64 @@ def fuzzy_match_parts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def funnel_click_to_purchase(sf_dir: str) -> pd.DataFrame:
+    """Temporal sequence detection (funnel): per user, the FIRST
+    purchase that follows a click within one hour. One keyed shuffle;
+    per-user resolution is a vectorized searchsorted between the two
+    sorted timestamp arrays — no per-event Python."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(
+                t["event_type"],
+                value_set=pa.array(["click", "purchase"]),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _funnel(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        clicks = np.sort(ts[et == "click"])
+        buys = np.sort(ts[et == "purchase"])
+        if clicks.size == 0 or buys.size == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "first_conv_tsec": pa.array([], type=pa.int64()),
+                }
+            )
+        # purchase qualifies iff a click exists in [p - 1h, p)
+        lo = np.searchsorted(clicks, buys - 3600 * 1_000_000, side="left")
+        hi = np.searchsorted(clicks, buys, side="left")
+        ok = hi > lo
+        if not ok.any():
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "first_conv_tsec": pa.array([], type=pa.int64()),
+                }
+            )
+        first = int(buys[ok].min()) // 1_000_000
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [g["user_id"][0].as_py()], type=pa.int64()
+                ),
+                "first_conv_tsec": pa.array([first], type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(_funnel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def hash_sample_docs(sf_dir: str) -> pd.DataFrame:
     """CONTENT-hash sampling: keep docs where md5_number_lower(text)
     % 10 == 3 — deterministic Bernoulli-style sampling that is stable

@@ -112,6 +112,19 @@ def test_dedupe_over_jsonl_source(tmp_path):
     assert sorted(kept["row_id"].to_pylist()) == list(range(7))
 
 
+def test_jsonl_malformed_blank_line_raises(tmp_path):
+    """Blank lines violate the well-formed-NDJSON contract; the
+    count-vs-parse reconciliation guard must fail loudly, not silently
+    shift ordinals."""
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"k": 1}\n\n{"k": 2}\n')
+    with pytest.raises((RuntimeError, Exception)) as ei:
+        read_jsonl_with_row_ids(str(p)).materialize()
+    assert "counted" in str(ei.value) or "Empty" in str(
+        ei.value
+    ) or "JSON" in str(ei.value)
+
+
 @pytest.mark.skipif(not HAVE_ORC, reason="pyarrow built without ORC")
 def test_orc_roundtrip_and_ordinals(tmp_path):
     import pyarrow.orc as paorc
