@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_lang": q.dup_rate_by_lang,
         # temporal sequence detection (funnel within a window)
         "funnel_click_to_purchase": q.funnel_click_to_purchase,
+        # canonicalization-keyed exact dedup
+        "normalized_dedup_docs": q.normalized_dedup_docs,
     }
 
 
@@ -990,5 +992,20 @@ def oracle_sql() -> dict[str, str]:
                          AND p.ts > c.ts
                          AND p.ts <= c.ts + INTERVAL 1 HOUR
             GROUP BY c.user_id ORDER BY c.user_id
+        """,
+        # normalization-aware dedup: NFC + lower + whitespace collapse
+        # + trim as the dedup key, first doc_id wins
+        "normalized_dedup_docs": """
+            WITH k AS (
+                SELECT doc_id, text, lang, source, n_chars,
+                       trim(regexp_replace(
+                           lower(nfc_normalize(text)), '\\s+', ' ', 'g'
+                       )) AS norm
+                FROM documents
+            )
+            SELECT doc_id, text, lang, source, n_chars FROM k
+            QUALIFY row_number() OVER (
+                PARTITION BY norm ORDER BY doc_id) = 1
+            ORDER BY doc_id
         """,
     }

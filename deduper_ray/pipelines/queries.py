@@ -1502,6 +1502,49 @@ def fuzzy_match_parts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def normalized_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Normalization-aware exact dedup: the dedup key is
+    NFC-normalized, lowercased, whitespace-collapsed, trimmed text —
+    the standard canonicalization step before exact text dedup (near-
+    identical casing/spacing variants collapse). First occurrence by
+    doc_id wins. All Arrow kernels (utf8_normalize / utf8_lower /
+    replace_substring_regex); the key stays a narrow projection."""
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"))
+
+    def _norm(t: pa.Table) -> pa.Table:
+        k = pc.utf8_normalize(t["text"], form="NFC")
+        k = pc.utf8_lower(k)
+        k = pc.replace_substring_regex(k, pattern=r"\s+", replacement=" ")
+        k = pc.utf8_trim_whitespace(k)
+        return t.append_column("_norm", k)
+
+    keyed = ds.map_batches(_norm, batch_format="pyarrow")
+    stats = keyed.map_batches(
+        lambda t: t.select(["_norm", "doc_id"]), batch_format="pyarrow"
+    ).groupby("_norm").aggregate(
+        Min("doc_id", alias_name="keep_id"), Count(alias_name="n")
+    )
+    keep_tbl = dataset_to_table(
+        stats.map_batches(
+            lambda t: t.select(["keep_id"]), batch_format="pyarrow"
+        )
+    )
+    keep_ref = ray.put(
+        np.sort(keep_tbl["keep_id"].to_numpy(zero_copy_only=False))
+    )
+
+    def _filter(t: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keep, ids), keep.size - 1)
+        return t.filter(pa.array(keep[pos] == ids)).drop_columns(["_norm"])
+
+    out = keyed.map_batches(_filter, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def funnel_click_to_purchase(sf_dir: str) -> pd.DataFrame:
     """Temporal sequence detection (funnel): per user, the FIRST
     purchase that follows a click within one hour. One keyed shuffle;

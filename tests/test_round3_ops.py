@@ -341,6 +341,33 @@ def test_fuzzy_block_pairs_matches_bruteforce():
     assert (1, 2, 1) in got and (5, 6, 1) in got
 
 
+def test_normalized_dedup_collapses_case_and_whitespace(tmp_path):
+    """The sf testdata has no normalization-dupes (oracle run keeps all
+    rows), so exercise the collapse on planted variants here."""
+    import pyarrow.parquet as pq
+
+    from deduper_ray.pipelines.queries import normalized_dedup_docs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                "Hello   World",
+                "hello world",  # case+space variant of 0
+                " HELLO WORLD ",  # trim+case variant of 0
+                "éclair recipe",  # NFD é
+                "éclair recipe",  # NFC é — same after normalize
+            ],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": pa.array([13, 11, 13, 14, 13], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = normalized_dedup_docs(str(tmp_path))
+    assert out["doc_id"].tolist() == [0, 3]  # first of each norm group
+
+
 def test_add_compression_ratio_bounds_and_monotonicity():
     import zlib
 
