@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_click_to_purchase": q.funnel_click_to_purchase,
         # canonicalization-keyed exact dedup
         "normalized_dedup_docs": q.normalized_dedup_docs,
+        # vector aggregation + grouped-quantile discretization
+        "label_centroids_embeddings": q.label_centroids_embeddings,
+        "events_quartile_buckets": q.events_quartile_buckets,
     }
 
 
@@ -1007,5 +1010,40 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY norm ORDER BY doc_id) = 1
             ORDER BY doc_id
+        """,
+        # per-label centroid as exact micro-unit dimension sums;
+        # unnest + generate_subscripts pair values with 1-based dims
+        "label_centroids_embeddings": """
+            WITH e AS (
+                SELECT label,
+                       unnest(CAST(embedding AS DOUBLE[])) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            )
+            SELECT label, CAST(dim AS BIGINT) AS dim,
+                   CAST(sum(CAST(round(v * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_micro,
+                   count(*) AS n
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # quartile bucket by exact percentile_disc thresholds;
+        # equality goes to the LOWER bucket on both sides
+        "events_quartile_buckets": """
+            WITH q AS (
+                SELECT event_type,
+                       percentile_disc(0.25) WITHIN GROUP (ORDER BY value)
+                           AS q25,
+                       percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+                           AS q50,
+                       percentile_disc(0.75) WITHIN GROUP (ORDER BY value)
+                           AS q75
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   (1 + (e.value > q.q25)::BIGINT
+                      + (e.value > q.q50)::BIGINT
+                      + (e.value > q.q75)::BIGINT) AS bucket
+            FROM events e JOIN q USING (event_type)
+            ORDER BY e.event_id
         """,
     }

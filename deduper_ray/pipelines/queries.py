@@ -1502,6 +1502,103 @@ def fuzzy_match_parts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Vector aggregation: per-label embedding centroid as EXACT
+    micro-unit dimension sums (the kmeans/SemDeDup building block
+    exposed as an operator). Per-batch combiner collapses each block
+    to ≤ #labels × dim partial rows before one small groupby — the
+    vector analogue of the q1 pre-aggregation."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["label", "embedding"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        emb = np.stack(
+            t["embedding"].to_pandas().to_numpy()
+        ).astype(np.float64)
+        x = emb * 1e6
+        micro = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = micro.shape[1]
+        sums = np.zeros((uniq.size, d), dtype=np.int64)
+        np.add.at(sums, inv, micro)
+        counts = np.bincount(inv)
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.repeat(uniq, d).astype(np.int64), type=pa.int64()
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int64), uniq.size)
+                ),
+                "sum_micro": pa.array(sums.reshape(-1), type=pa.int64()),
+                "n": pa.array(
+                    np.repeat(counts, d).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    out = dataset_to_table(
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("sum_micro", alias_name="sum_micro"),
+            Sum("n", alias_name="n"),
+        )
+    ).to_pandas()
+    out["sum_micro"] = out["sum_micro"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)[
+        ["label", "dim", "sum_micro", "n"]
+    ]
+
+
+def events_quartile_buckets(sf_dir: str) -> pd.DataFrame:
+    """Value discretization: each event tagged with its event_type's
+    quartile bucket (1-4) by comparison against EXACT percentile_disc
+    thresholds (q25/q50/q75 from the distributed range-refinement
+    quantiles, broadcast once) — equality goes to the lower bucket on
+    both sides."""
+    from deduper_ray.stages.relational import grouped_quantiles_binned
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    q = grouped_quantiles_binned(
+        ds, key="event_type", value_col="value",
+        quantiles=[0.25, 0.5, 0.75], num_bins=64, max_enumeration=50,
+    )
+    thr = {
+        r["event_type"]: (r["q25"], r["q50"], r["q75"])
+        for _, r in q.iterrows()
+    }
+    thr_ref = ray.put(thr)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        m = ray.get(thr_ref)
+        et = t["event_type"].to_pylist()
+        v = t["value"].to_numpy(zero_copy_only=False)
+        t1 = np.array([m[e][0] for e in et])
+        t2 = np.array([m[e][1] for e in et])
+        t3 = np.array([m[e][2] for e in et])
+        bucket = (
+            1 + (v > t1).astype(np.int64) + (v > t2) + (v > t3)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "bucket": pa.array(bucket, type=pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_bucket, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def normalized_dedup_docs(sf_dir: str) -> pd.DataFrame:
     """Normalization-aware exact dedup: the dedup key is
     NFC-normalized, lowercased, whitespace-collapsed, trimmed text —
