@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vector aggregation + grouped-quantile discretization
         "label_centroids_embeddings": q.label_centroids_embeddings,
         "events_quartile_buckets": q.events_quartile_buckets,
+        # bottom-k hash-priority sampling (KMV selection rule)
+        "bottomk_sample_docs": q.bottomk_sample_docs,
     }
 
 
@@ -1045,5 +1047,14 @@ def oracle_sql() -> dict[str, str]:
                       + (e.value > q.q75)::BIGINT) AS bucket
             FROM events e JOIN q USING (event_type)
             ORDER BY e.event_id
+        """,
+        # bottom-k by content-hash priority (same md5-low-8-LE
+        # convention; >>1 keeps the priority in int64 on both sides)
+        "bottomk_sample_docs": """
+            SELECT doc_id, text, lang, source, n_chars,
+                   CAST(md5_number_lower(text) >> 1 AS BIGINT)
+                       AS priority
+            FROM documents
+            ORDER BY priority, doc_id LIMIT 20
         """,
     }

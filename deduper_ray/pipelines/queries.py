@@ -1502,6 +1502,41 @@ def fuzzy_match_parts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def bottomk_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Bottom-k (hash-priority) sampling: the 20 docs with the
+    smallest content-hash priority — the KMV-sketch selection rule, a
+    deterministic distributed sample that needs NO global shuffle
+    (per-block partial bottom-k via stages/relational.top_k, driver
+    merges ≤ blocks × k rows). Stable under any partitioning and
+    row-id assignment."""
+    import hashlib
+
+    from deduper_ray.functions.hashing import _utf8_slices
+    from deduper_ray.stages.relational import top_k
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"))
+
+    def _prio(t: pa.Table) -> pa.Table:
+        offsets, data = _utf8_slices(t["text"])
+        md5 = hashlib.md5
+        prio = np.fromiter(
+            (
+                int.from_bytes(md5(data[a:b]).digest()[8:16], "little")
+                >> 1  # keep within int64
+                for a, b in zip(offsets, offsets[1:])
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return t.append_column("priority", pa.array(prio, type=pa.int64()))
+
+    out = top_k(
+        ds.map_batches(_prio, batch_format="pyarrow"),
+        20, sort_keys=["priority", "doc_id"], descending=False,
+    ).to_pandas()
+    return out.sort_values(["priority", "doc_id"]).reset_index(drop=True)
+
+
 def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
     """Vector aggregation: per-label embedding centroid as EXACT
     micro-unit dimension sums (the kmeans/SemDeDup building block
