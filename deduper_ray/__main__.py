@@ -63,6 +63,16 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("sample", help="first-row hash probe")
     ps.add_argument("--config", required=True)
 
+    pc_ = sub.add_parser(
+        "curate",
+        help="gate -> decontaminate -> exact dedup -> near-dup -> annotate",
+    )
+    pc_.add_argument("--source", required=True)
+    pc_.add_argument("--out", required=True)
+    pc_.add_argument("--config", help="JSON of CurateConfig fields; a "
+                     "'neardup' object maps to NearDupConfig")
+    pc_.add_argument("--no-resume", action="store_true")
+
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
     import ray
@@ -105,6 +115,26 @@ def main(argv: list[str] | None = None) -> int:
             res = run_neardup_incremental(
                 args.source, args.out, NearDupConfig(**raw),
                 prior_signatures=args.prior,
+            )
+            print(json.dumps(res.__dict__, default=str, indent=2))
+        elif args.cmd == "curate":
+            from deduper_ray.config import NearDupConfig
+            from deduper_ray.pipelines.curate import (
+                CurateConfig,
+                run_curation,
+            )
+
+            raw = {}
+            if args.config:
+                with open(args.config) as f:
+                    raw = json.load(f)
+            if raw.get("neardup") is not None:
+                raw["neardup"] = NearDupConfig(**raw["neardup"])
+            if raw.get("benchmark_grams") is not None:
+                raw["benchmark_grams"] = tuple(raw["benchmark_grams"])
+            res = run_curation(
+                args.source, args.out, CurateConfig(**raw),
+                resume=not args.no_resume,
             )
             print(json.dumps(res.__dict__, default=str, indent=2))
         elif args.cmd == "sample":
