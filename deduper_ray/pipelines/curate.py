@@ -197,10 +197,18 @@ def _run_curation(
     else:
         from ray.data.aggregate import Min
 
+        from deduper_ray.functions.hashing import md5_hex_array
+
         def _key(b: pa.Table) -> pa.Table:
             col = b[tcol]
             key = _norm_key(col) if cfg.normalize_key else col
-            return pa.table({"_k": key, "row_id": b["row_id"]})
+            # group on the MD5 of the key, not the key itself — the
+            # groupby all-to-all then moves 32-byte hashes instead of
+            # whole documents (measured 30.8 s → narrow at 100k code
+            # files; same crypto-key rationale as stages/exact.py)
+            return pa.table(
+                {"_k": md5_hex_array(key), "row_id": b["row_id"]}
+            )
 
         keepers = (
             current.map_batches(_key, batch_format="pyarrow")
