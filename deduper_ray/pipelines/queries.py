@@ -1646,11 +1646,15 @@ def normalized_dedup_docs(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"))
 
     def _norm(t: pa.Table) -> pa.Table:
+        from deduper_ray.functions.hashing import md5_hex_array
+
         k = pc.utf8_normalize(t["text"], form="NFC")
         k = pc.utf8_lower(k)
         k = pc.replace_substring_regex(k, pattern=r"\s+", replacement=" ")
         k = pc.utf8_trim_whitespace(k)
-        return t.append_column("_norm", k)
+        # group on the key's MD5 — the all-to-all moves 32-byte digests,
+        # not canonicalized documents (pipelines/curate.py, same fix)
+        return t.append_column("_norm", md5_hex_array(k))
 
     keyed = ds.map_batches(_norm, batch_format="pyarrow")
     stats = keyed.map_batches(
