@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quartile_buckets": q.events_quartile_buckets,
         # bottom-k hash-priority sampling (KMV selection rule)
         "bottomk_sample_docs": q.bottomk_sample_docs,
+        # grouped Pearson correlation from exact integer sums
+        "corr_value_hour_by_type": q.corr_value_hour_by_type,
     }
 
 
@@ -1056,5 +1058,35 @@ def oracle_sql() -> dict[str, str]:
                        AS priority
             FROM documents
             ORDER BY priority, doc_id LIMIT 20
+        """,
+        # grouped Pearson correlation: the SAME closed form over the
+        # SAME exact integer sums as the engine (not corr(), whose
+        # streaming accumulation is order-dependent)
+        "corr_value_hour_by_type": """
+            WITH s AS (
+                SELECT event_type,
+                       count(*) AS n,
+                       CAST(sum(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sx,
+                       CAST(sum(CAST(round(value*1000) AS BIGINT))
+                            AS BIGINT) AS sy,
+                       CAST(sum(CAST(hour(ts) AS BIGINT)
+                                * CAST(hour(ts) AS BIGINT)) AS BIGINT)
+                           AS sxx,
+                       CAST(sum(CAST(round(value*1000) AS BIGINT)
+                                * CAST(round(value*1000) AS BIGINT))
+                            AS BIGINT) AS syy,
+                       CAST(sum(CAST(hour(ts) AS BIGINT)
+                                * CAST(round(value*1000) AS BIGINT))
+                            AS BIGINT) AS sxy
+                FROM events GROUP BY 1
+            )
+            SELECT event_type, n,
+                   round(
+                       (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                       / sqrt(
+                           (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                           * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                       ), 6) AS corr_value_hour
+            FROM s ORDER BY event_type
         """,
     }

@@ -1502,6 +1502,69 @@ def fuzzy_match_parts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def corr_value_hour_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped Pearson correlation (value vs hour-of-day per
+    event_type) from EXACT integer sufficient statistics: per-batch
+    combiner sums (n, Σx, Σy, Σx², Σy², Σxy) in milli-units (all
+    int64-exact), one tiny groupby merges them, the closed form runs
+    on the driver — and the oracle computes the SAME closed form from
+    the SAME integer sums, so both sides agree bit-for-bit before the
+    6-dp rounding."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        x = pc.hour(t["ts"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = _cents(t["value"], 1000)
+        uniq, inv = np.unique(et, return_inverse=True)
+        cols = {"event_type": pa.array(uniq)}
+        for name, arr in (
+            ("n", np.ones_like(x)),
+            ("sx", x),
+            ("sy", y),
+            ("sxx", x * x),
+            ("syy", y * y),
+            ("sxy", x * y),
+        ):
+            sums = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(sums, inv, arr)
+            cols[name] = pa.array(sums, type=pa.int64())
+        return pa.table(cols)
+
+    agg = dataset_to_table(
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            *[
+                Sum(c, alias_name=c)
+                for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+            ]
+        )
+    ).to_pandas()
+    n = agg["n"].astype(float)
+    sx, sy = agg["sx"].astype(float), agg["sy"].astype(float)
+    sxx, syy, sxy = (
+        agg["sxx"].astype(float),
+        agg["syy"].astype(float),
+        agg["sxy"].astype(float),
+    )
+    corr = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype(np.int64),
+            "corr_value_hour": corr.round(6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def bottomk_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Bottom-k (hash-priority) sampling: the 20 docs with the
     smallest content-hash priority — the KMV-sketch selection rule, a
