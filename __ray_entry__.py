@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample_docs": q.bottomk_sample_docs,
         # grouped Pearson correlation from exact integer sums
         "corr_value_hour_by_type": q.corr_value_hour_by_type,
+        # exact integer-binned grouped histogram
+        "histogram_event_values": q.histogram_event_values,
     }
 
 
@@ -1088,5 +1090,13 @@ def oracle_sql() -> dict[str, str]:
                            * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
                        ), 6) AS corr_value_hour
             FROM s ORDER BY event_type
+        """,
+        # exact integer binning: cents // 10000 (floor division on
+        # BIGINT — no float bin-edge ambiguity on either side)
+        "histogram_event_values": """
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) // 10000 AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

@@ -1502,6 +1502,36 @@ def fuzzy_match_parts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def histogram_event_values(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width histogram of event values per event_type: bin =
+    cents // 10000 (exact integer binning — no float boundary
+    ambiguity), one narrow (type, bin) groupby-count. The distributed
+    histogram primitive behind the exact grouped quantiles.
+    Non-negative domain assumed (numpy floors negative //, SQL
+    truncates; events.value ≥ 0 by schema)."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "value"]
+    )
+
+    def _bin(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"], 100)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "bin": pa.array(cents // 10000, type=pa.int64()),
+            }
+        )
+
+    out = dataset_to_table(
+        ds.map_batches(_bin, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Count(alias_name="n"))
+    ).to_pandas()
+    return out.sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
 def corr_value_hour_by_type(sf_dir: str) -> pd.DataFrame:
     """Grouped Pearson correlation (value vs hour-of-day per
     event_type) from EXACT integer sufficient statistics: per-batch
