@@ -36,6 +36,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 # 256-entry popcount lookup (numpy < 2.0 has no bitwise_count)
@@ -77,14 +78,32 @@ def _band_explode(
     )
 
 
+_SPLIT_THRESHOLD = 512
+
+
 def _bucket_pairs(
     ids: np.ndarray,
     sims: np.ndarray,
     *,
     max_hamming: int,
     max_bucket,
+    free_bits: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Verified (id_a < id_b) pairs within one band bucket."""
+    """Verified (id_a < id_b) pairs within one band bucket — EXACT at
+    any bucket size via recursive pigeonhole refinement.
+
+    SimHash band windows are NOT uniform (majority-vote bits correlate
+    across a templated corpus — unlike crypto-hashed MinHash band
+    keys), so a hot 16-bit window can hold 10^4-10^5 rows and the
+    naive all-pairs verify goes quadratic (measured 84 s at 1M docs).
+    Refinement (Manku et al. §3, the multi-table probe): rows in this
+    bucket already agree on the banded window; a qualifying pair's
+    ≤ max_hamming differing bits lie in the remaining ``free_bits``,
+    so splitting those into max_hamming+1 sub-windows guarantees
+    agreement on at least one — recurse per sub-window until buckets
+    reach the all-pairs threshold. Fingerprints are collapse-distinct,
+    so n ≤ 2^|free_bits| and the recursion always terminates before
+    free_bits run out."""
     order = np.argsort(ids)
     ids, sims = ids[order], sims[order]
     n = ids.size
@@ -94,13 +113,59 @@ def _bucket_pairs(
         ids, sims, n = ids[:max_bucket], sims[:max_bucket], max_bucket
     if n < 2:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    ia, ib = np.triu_indices(n, k=1)
-    keep = hamming64(sims[ia], sims[ib]) <= max_hamming
-    return ids[ia[keep]], ids[ib[keep]]
+    if free_bits is None:
+        free_bits = np.arange(64, dtype=np.int64)
+    if n <= _SPLIT_THRESHOLD or free_bits.size <= max_hamming + 1:
+        ia, ib = np.triu_indices(n, k=1)
+        keep = hamming64(sims[ia], sims[ib]) <= max_hamming
+        return ids[ia[keep]], ids[ib[keep]]
+    parts = np.array_split(free_bits, max_hamming + 1)
+    u = sims.astype(np.uint64)
+    acc_a: list[np.ndarray] = []
+    acc_b: list[np.ndarray] = []
+    for part in parts:
+        if part.size == 0:
+            continue
+        key = np.zeros(n, dtype=np.uint64)
+        for j, p in enumerate(part):
+            key |= ((u >> np.uint64(p)) & np.uint64(1)) << np.uint64(j)
+        order2 = np.argsort(key, kind="stable")
+        ks = key[order2]
+        change = np.nonzero(ks[1:] != ks[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+        rem = np.setdiff1d(free_bits, part, assume_unique=True)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sel = order2[s:e]
+            a, b = _bucket_pairs(
+                ids[sel], sims[sel],
+                max_hamming=max_hamming, max_bucket=None, free_bits=rem,
+            )
+            acc_a.append(a)
+            acc_b.append(b)
+    if not acc_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    from deduper_ray.stages.verify import dedup_pairs_arrays
+
+    return dedup_pairs_arrays(
+        np.concatenate(acc_a), np.concatenate(acc_b)
+    )
+
+
+def _band_free_bits(band_key: int, bands: int) -> np.ndarray:
+    """Bits OUTSIDE the window this bucket already agrees on."""
+    width = 64 // bands
+    b = int(band_key) >> width
+    agreed = np.arange(b * width, (b + 1) * width, dtype=np.int64)
+    return np.setdiff1d(
+        np.arange(64, dtype=np.int64), agreed, assume_unique=True
+    )
 
 
 def _scan_sorted_block(
-    t: pa.Table, *, max_hamming: int, max_bucket
+    t: pa.Table, *, max_hamming: int, max_bucket, bands: int = 4
 ) -> pa.Table:
     """Vectorized run scan over one band_key-sorted block: interior
     runs → verified pairs emitted inline (the fingerprints ride with
@@ -140,6 +205,7 @@ def _scan_sorted_block(
             a, b = _bucket_pairs(
                 ids[s:e], sims[s:e],
                 max_hamming=max_hamming, max_bucket=max_bucket,
+                free_bits=_band_free_bits(keys[s], bands),
             )
             out_a.append(a)
             out_b.append(b)
@@ -199,9 +265,45 @@ def simhash_neardup(
     if 64 % bands:
         raise ValueError(f"bands={bands} must divide 64")
 
-    narrow = ds.map_batches(
+    from ray.data.aggregate import Count, Min
+
+    # -- identical-fingerprint collapse (the stages/collapse.py move):
+    # clone families share one fingerprint, so banding the RAW rows
+    # makes every band bucket quadratic in clone-family size (measured
+    # 5.4k files/s at 1M docs vs 18k at 100k). One rep per distinct
+    # fingerprint (min id) enters the banding; members rejoin at the
+    # end via the expansion map. Exactly equivalent: identical
+    # fingerprints are Hamming 0, and any edge of a rep is an edge of
+    # every member.
+    def _to_narrow(t: pa.Table) -> pa.Table:
+        # reinterpret the fingerprint BITS as int64 (uint64 inputs from
+        # the production signer exceed int64 range — a numeric cast
+        # overflows; the bit pattern is what Hamming cares about)
+        sims = (
+            t[sim_column]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "id": pc.cast(t[id_column], pa.int64()),
+                "sim": pa.array(sims, type=pa.int64()),
+            }
+        )
+
+    narrow_in = ds.map_batches(_to_narrow, batch_format="pyarrow")
+    reps = narrow_in.groupby("sim").aggregate(
+        Min("id", alias_name="rep_id"), Count(alias_name="n")
+    ).materialize()
+    rep_pts = reps.map_batches(
+        lambda t: pa.table({"id": t["rep_id"], "sim": t["sim"]}),
+        batch_format="pyarrow",
+    )
+
+    narrow = rep_pts.map_batches(
         lambda t: _band_explode(
-            t, bands=bands, id_column=id_column, sim_column=sim_column
+            t, bands=bands, id_column="id", sim_column="sim"
         ),
         batch_format="pyarrow",
     )
@@ -214,7 +316,8 @@ def simhash_neardup(
         narrow.sort("band_key")
         .map_batches(
             lambda t: _scan_sorted_block(
-                t, max_hamming=max_hamming, max_bucket=max_bucket
+                t, max_hamming=max_hamming, max_bucket=max_bucket,
+                bands=bands,
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -249,6 +352,7 @@ def simhash_neardup(
             a, b = _bucket_pairs(
                 uniq, fsims[s:e][idx],
                 max_hamming=max_hamming, max_bucket=max_bucket,
+                free_bits=_band_free_bits(fkeys[s], bands),
             )
             stitch_a.append(a)
             stitch_b.append(b)
@@ -263,6 +367,11 @@ def simhash_neardup(
     # pipelines/neardup.py auto-route rule).
     n_interior = interior.count()
     if n_interior + sa.size > edge_budget:
+        # beyond the driver edge budget: distributed distinct +
+        # labelprop over REP edges (no driver residency for the graph;
+        # the expansion map below still collects labeled reps, bounded
+        # by clustered-rep volume — the same bound callers accept by
+        # consuming the clusters output)
         raw_edges = interior
         if sa.size:
             raw_edges = raw_edges.union(
@@ -278,23 +387,72 @@ def simhash_neardup(
         edges = distinct(raw_edges, ["id_a", "id_b"])
         from deduper_ray.state.unionfind import label_propagation
 
-        out = label_propagation(edges)
-        if id_column != "row_id":
-            out = out.map_batches(
-                lambda t: t.rename_columns([id_column, "cluster_id"]),
-                batch_format="pyarrow",
+        lbl = label_propagation(edges)
+        nparts, lparts = [], []
+        for batch in lbl.iter_batches(
+            batch_size=262144, batch_format="pyarrow"
+        ):
+            nparts.append(batch["row_id"].to_numpy(zero_copy_only=False))
+            lparts.append(
+                batch["cluster_id"].to_numpy(zero_copy_only=False)
             )
-        return out
+        nodes = (
+            np.concatenate(nparts) if nparts else np.empty(0, np.int64)
+        )
+        labels = (
+            np.concatenate(lparts) if lparts else np.empty(0, np.int64)
+        )
+    else:
+        parts_a, parts_b = [sa], [sb]
+        for batch in interior.iter_batches(
+            batch_size=262144, batch_format="pyarrow"
+        ):
+            parts_a.append(batch["id_a"].to_numpy(zero_copy_only=False))
+            parts_b.append(batch["id_b"].to_numpy(zero_copy_only=False))
+        a = np.concatenate(parts_a).astype(np.int64)
+        b = np.concatenate(parts_b).astype(np.int64)
+        if a.size:
+            from deduper_ray.stages.verify import dedup_pairs_arrays
+            from deduper_ray.state.unionfind import (
+                connected_components_arrays,
+            )
 
-    parts_a, parts_b = [sa], [sb]
-    for batch in interior.iter_batches(
-        batch_size=262144, batch_format="pyarrow"
-    ):
-        parts_a.append(batch["id_a"].to_numpy(zero_copy_only=False))
-        parts_b.append(batch["id_b"].to_numpy(zero_copy_only=False))
-    a = np.concatenate(parts_a).astype(np.int64)
-    b = np.concatenate(parts_b).astype(np.int64)
-    if a.size == 0:
+            a, b = dedup_pairs_arrays(a, b)
+            nodes, labels = connected_components_arrays(a, b)
+        else:
+            nodes = labels = np.empty(0, dtype=np.int64)
+
+    # -- expansion map: a doc belongs to the output iff its fingerprint
+    # group has n >= 2 (Hamming-0 partners) OR its rep has an edge.
+    # Map volume is bounded by duplicated-fingerprint + clustered-rep
+    # counts — the dupe-volume bound of the exact-dedup drop set.
+    rep_label = dict(zip(nodes.tolist(), labels.tolist()))
+    map_sims: list[np.ndarray] = []
+    map_labels: list[np.ndarray] = []
+    labeled_ref = ray.put(np.sort(nodes))
+
+    def _interesting(t: pa.Table) -> pa.Table:
+        lab = ray.get(labeled_ref)
+        rid = t["rep_id"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        hit = n >= 2
+        if lab.size:
+            pos = np.minimum(np.searchsorted(lab, rid), lab.size - 1)
+            hit = hit | (lab[pos] == rid)
+        return t.filter(pa.array(hit))
+
+    for batch in reps.map_batches(
+        _interesting, batch_format="pyarrow"
+    ).iter_batches(batch_size=262144, batch_format="pyarrow"):
+        s = batch["sim"].to_numpy(zero_copy_only=False)
+        r = batch["rep_id"].to_numpy(zero_copy_only=False)
+        map_sims.append(s)
+        map_labels.append(
+            np.array(
+                [rep_label.get(int(x), int(x)) for x in r], dtype=np.int64
+            )
+        )
+    if not map_sims:
         return rd.from_arrow(
             pa.table(
                 {
@@ -303,16 +461,26 @@ def simhash_neardup(
                 }
             )
         )
-    from deduper_ray.stages.verify import dedup_pairs_arrays
-    from deduper_ray.state.unionfind import connected_components_arrays
+    ms = np.concatenate(map_sims)
+    ml = np.concatenate(map_labels)
+    order = np.argsort(ms)
+    expand_ref = ray.put({"sims": ms[order], "labels": ml[order]})
 
-    a, b = dedup_pairs_arrays(a, b)
-    nodes, labels = connected_components_arrays(a, b)
-    return rd.from_arrow(
-        pa.table(
+    def _expand(t: pa.Table) -> pa.Table:
+        m = ray.get(expand_ref)
+        sims = t["sim"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(
+            np.searchsorted(m["sims"], sims), m["sims"].size - 1
+        )
+        hit = m["sims"][pos] == sims
+        out_ids = t["id"].to_numpy(zero_copy_only=False)[hit]
+        return pa.table(
             {
-                id_column: pa.array(nodes, type=pa.int64()),
-                "cluster_id": pa.array(labels, type=pa.int64()),
+                id_column: pa.array(out_ids, type=pa.int64()),
+                "cluster_id": pa.array(
+                    m["labels"][pos[hit]], type=pa.int64()
+                ),
             }
         )
-    )
+
+    return narrow_in.map_batches(_expand, batch_format="pyarrow")

@@ -97,6 +97,48 @@ def test_simhash_neardup_matches_bruteforce():
     assert len(want) > 0  # the planted dups actually clustered
 
 
+def test_simhash_neardup_hot_window_exact():
+    """Adversarial skew: 2,000 distinct fingerprints sharing one
+    16-bit band window (one bucket far above the recursion threshold)
+    — the recursive pigeonhole refinement must stay EXACT vs the
+    vectorized all-pairs brute force."""
+    rng = np.random.RandomState(3)
+    n = 2000
+    # band 0 window (bits 0-15) constant; the rest random
+    high = rng.randint(0, 2**47, size=n, dtype=np.int64) << 16
+    sims = np.unique(high | 0x1234)
+    # plant near pairs: flip 1-3 bits of the high parts of some rows
+    planted = []
+    for i in range(0, sims.size, 97):
+        v = int(sims[i])
+        f = v
+        for b in rng.choice(np.arange(16, 63), size=3, replace=False):
+            f ^= 1 << int(b)  # bits 16-62: stays a valid int64
+        planted.append(f)
+    sims = np.unique(np.concatenate([sims, np.array(planted, np.int64)]))
+    ids = np.arange(sims.size, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"row_id": pa.array(ids), "simhash": pa.array(sims)})
+    )
+    got = (
+        simhash_neardup(ds, max_hamming=3, bands=4)
+        .to_pandas()
+        .set_index("row_id")["cluster_id"]
+        .to_dict()
+    )
+    # numpy brute force
+    ia, ib = np.triu_indices(sims.size, k=1)
+    keep = hamming64(sims[ia], sims[ib]) <= 3
+    from deduper_ray.state.unionfind import connected_components_arrays
+
+    nodes, labels = connected_components_arrays(
+        ids[ia[keep]].astype(np.int64), ids[ib[keep]].astype(np.int64)
+    )
+    want = dict(zip(nodes.tolist(), labels.tolist()))
+    assert got == want
+    assert len(want) >= len(planted)  # planted pairs actually clustered
+
+
 def test_simhash_neardup_validates_bands():
     ds = rd.from_arrow(
         pa.table({"row_id": pa.array([0]), "simhash": pa.array([0])})
