@@ -139,6 +139,34 @@ def test_simhash_neardup_hot_window_exact():
     assert len(want) >= len(planted)  # planted pairs actually clustered
 
 
+def test_simhash_neardup_empty_and_single_and_identical():
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "row_id": pa.array([], type=pa.int64()),
+                "simhash": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    assert simhash_neardup(empty).count() == 0
+    single = rd.from_arrow(
+        pa.table({"row_id": pa.array([7]), "simhash": pa.array([123])})
+    )
+    assert simhash_neardup(single).count() == 0
+    # identical fingerprints cluster (Hamming 0) through the collapse
+    same = rd.from_arrow(
+        pa.table(
+            {
+                "row_id": pa.array([5, 9, 2], type=pa.int64()),
+                "simhash": pa.array([42, 42, 42], type=pa.int64()),
+            }
+        )
+    )
+    out = simhash_neardup(same).to_pandas().sort_values("row_id")
+    assert out["row_id"].tolist() == [2, 5, 9]
+    assert out["cluster_id"].tolist() == [2, 2, 2]
+
+
 def test_simhash_neardup_validates_bands():
     ds = rd.from_arrow(
         pa.table({"row_id": pa.array([0]), "simhash": pa.array([0])})
