@@ -20,15 +20,17 @@ Scale shape:
 - each band bucket carries the fingerprints it needs, so verification
   happens INSIDE the grouped task — no signature store, no broadcast,
   no second shuffle to attach payloads;
-- hot buckets (a 16-bit window shared by many docs) are the skew risk,
-  same as LSH band buckets: ``max_bucket`` bounds the per-bucket
-  quadratic by sub-banding on a SECOND window of the fingerprint
-  (connectivity within the Hamming ball is preserved only
-  probabilistically then, so the default is uncapped — set it for
-  adversarial corpora and accept documented recall loss);
-- clustering reuses the shared components machinery (driver O(edges)
-  numpy by default, ``label_propagation`` beyond the edge budget —
-  same auto-routing rule as pipelines/neardup.py).
+- hot buckets (a 16-bit window shared by many docs — SimHash windows
+  are skewed because majority-vote bits correlate on templated
+  corpora) are handled EXACTLY by two mechanisms: identical
+  fingerprints collapse to one representative before banding, and
+  oversized buckets recurse with pigeonhole refinement over their
+  free bits (``_bucket_pairs``); ``max_bucket`` remains only as an
+  optional lossy truncation for pathological inputs;
+- edge dedup + clustering are adaptive: below ``edge_budget`` the rep
+  edges collect to one driver numpy dedup/components pass, above it
+  distributed distinct + ``label_propagation`` (the
+  pipelines/neardup.py auto-routing rule).
 """
 
 from __future__ import annotations
