@@ -1776,60 +1776,35 @@ def normalized_dedup_docs(sf_dir: str) -> pd.DataFrame:
 
 def funnel_click_to_purchase(sf_dir: str) -> pd.DataFrame:
     """Temporal sequence detection (funnel): per user, the FIRST
-    purchase that follows a click within one hour. One keyed shuffle;
-    per-user resolution is a vectorized searchsorted between the two
-    sorted timestamp arrays — no per-event Python."""
+    purchase that follows a click within one hour
+    (relational.funnel_first_conversion — co-partitioned buckets, two
+    vectorized lexicographic rank differences per bucket, no per-user
+    Python)."""
+    from deduper_ray.stages.relational import funnel_first_conversion
+
     ds = rd.read_parquet(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
-    ).map_batches(
-        lambda t: t.filter(
-            pc.is_in(
-                t["event_type"],
-                value_set=pa.array(["click", "purchase"]),
-            )
-        ),
+    )
+    clicks = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")),
         batch_format="pyarrow",
     )
-
-    def _funnel(g: pa.Table) -> pa.Table:
-        et = g["event_type"].to_numpy(zero_copy_only=False)
-        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        clicks = np.sort(ts[et == "click"])
-        buys = np.sort(ts[et == "purchase"])
-        if clicks.size == 0 or buys.size == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], type=pa.int64()),
-                    "first_conv_tsec": pa.array([], type=pa.int64()),
-                }
-            )
-        # purchase qualifies iff a click exists in [p - 1h, p)
-        lo = np.searchsorted(clicks, buys - 3600 * 1_000_000, side="left")
-        hi = np.searchsorted(clicks, buys, side="left")
-        ok = hi > lo
-        if not ok.any():
-            return pa.table(
-                {
-                    "user_id": pa.array([], type=pa.int64()),
-                    "first_conv_tsec": pa.array([], type=pa.int64()),
-                }
-            )
-        first = int(buys[ok].min()) // 1_000_000
-        return pa.table(
-            {
-                "user_id": pa.array(
-                    [g["user_id"][0].as_py()], type=pa.int64()
-                ),
-                "first_conv_tsec": pa.array([first], type=pa.int64()),
-            }
-        )
-
-    out = (
-        ds.groupby("user_id")
-        .map_groups(_funnel, batch_format="pyarrow")
-        .to_pandas()
+    buys = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow",
     )
-    return out.sort_values("user_id").reset_index(drop=True)
+    out = funnel_first_conversion(
+        clicks, buys, by="user_id", trigger_ts="ts",
+        conversion_ts="ts", window_sec=3600,
+    ).to_pandas()
+    out["first_conv_tsec"] = (
+        out["first_conv_ts_us"] // 1_000_000
+    ).astype(np.int64)
+    return (
+        out[["user_id", "first_conv_tsec"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
 
 
 def hash_sample_docs(sf_dir: str) -> pd.DataFrame:
@@ -1974,32 +1949,18 @@ def fuzzy_match_parts_jw(sf_dir: str) -> pd.DataFrame:
 def user_event_sequences(sf_dir: str) -> pd.DataFrame:
     """Per-user ordered event-type sequence (string_agg ORDER BY ts,
     event_id) — grouped sequence assembly, the session-mining shape.
-    One keyed shuffle of narrow rows; per-group assembly is a sort +
-    join inside the grouped task, no driver state."""
+    Bucket backend (relational.grouped_ordered_concat): one keyed
+    shuffle of narrow rows, Python dispatch count = #buckets not
+    #users, C-level pandas agg inside each bucket task."""
+    from deduper_ray.stages.relational import grouped_ordered_concat
+
     ds = rd.read_parquet(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"]
     )
-
-    def _seq(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        types = g["event_type"].take(order).to_pylist()
-        return pa.table(
-            {
-                "user_id": pa.array(
-                    [g["user_id"][0].as_py()], type=pa.int64()
-                ),
-                "n_events": pa.array([g.num_rows], type=pa.int64()),
-                "seq": pa.array([",".join(types)], type=pa.string()),
-            }
-        )
-
-    out = (
-        ds.groupby("user_id")
-        .map_groups(_seq, batch_format="pyarrow")
-        .to_pandas()
-    )
+    out = grouped_ordered_concat(
+        ds, key="user_id", order_cols=["ts", "event_id"],
+        value_col="event_type", sep=",",
+    ).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 

@@ -403,6 +403,143 @@ def range_join_count(
     return tagged.groupby("_bucket").map_groups(_count, batch_format="pyarrow")
 
 
+def grouped_ordered_concat(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    sep: str = ",",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """``string_agg(value_col, sep ORDER BY order_cols)`` per key —
+    grouped sequence assembly at corpus-scale key cardinality.
+
+    Bucket backend (the grouped_row_number pattern): rows hash-bucket
+    by key (each key wholly in one bucket), ONE grouped task per bucket
+    runs a pandas sort + C-level groupby-agg — Python dispatch count is
+    #buckets, not #keys (a ``groupby(key).map_groups`` pays a Python
+    call per key: millions of users ⇒ millions of calls)."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(4, min(128, cpus * 2))
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((k * GOLD) >> np.uint64(33)) % np.uint64(num_partitions)
+        return t.append_column(
+            "_bucket", pa.array(bucket.astype(np.int64))
+        )
+
+    def _concat(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols)
+        g = df.groupby(key, sort=True)
+        return pd.DataFrame(
+            {
+                key: g.size().index,
+                "n_events": g.size().to_numpy(),
+                "seq": g[value_col].agg(sep.join).to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(_concat, batch_format="pandas")
+    )
+
+
+def funnel_first_conversion(
+    triggers: rd.Dataset,
+    conversions: rd.Dataset,
+    *,
+    by: str,
+    trigger_ts: str,
+    conversion_ts: str,
+    window_sec: int,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Temporal funnel: per key, the FIRST conversion event preceded by
+    a trigger event within ``window_sec`` (trigger strictly before the
+    conversion). Returns (by, first_conv_ts_us).
+
+    Both sides hash-co-partition on the key; each bucket resolves with
+    TWO lexicographic rank differences (the range_join_count kernel):
+    a conversion qualifies iff #triggers before (key, t) exceeds
+    #triggers before (key, t − window) — fully vectorized, no per-key
+    Python. First-per-key selection is a sorted run scan."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(4, min(128, cpus * 2))
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    win_us = np.int64(window_sec) * 1_000_000
+
+    def _tag(side: int, ts_col: str):
+        def _f(t: pa.Table) -> pa.Table:
+            k = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
+            bucket = (
+                (k.astype(np.uint64) * GOLD) >> np.uint64(33)
+            ) % np.uint64(num_partitions)
+            return pa.table(
+                {
+                    "_bucket": pa.array(bucket.astype(np.int64)),
+                    "_side": pa.array(
+                        np.full(t.num_rows, side, dtype=np.int8)
+                    ),
+                    "k": pa.array(k),
+                    "t": pa.array(
+                        pc.cast(t[ts_col], pa.int64()).to_numpy(
+                            zero_copy_only=False
+                        )
+                    ),
+                }
+            )
+
+        return _f
+
+    tagged = triggers.map_batches(
+        _tag(0, trigger_ts), batch_format="pyarrow"
+    ).union(
+        conversions.map_batches(_tag(1, conversion_ts), batch_format="pyarrow")
+    )
+
+    def _resolve(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        k = g["k"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        trig, conv = side == 0, side == 1
+        empty = pa.table(
+            {
+                by: pa.array([], type=pa.int64()),
+                "first_conv_ts_us": pa.array([], type=pa.int64()),
+            }
+        )
+        if not trig.any() or not conv.any():
+            return empty
+        tk, tt = k[trig], t[trig]
+        ck, ct = k[conv], t[conv]
+        lo = _lex_insert_left(tk, tt, ck, ct - win_us)
+        hi = _lex_insert_left(tk, tt, ck, ct)
+        ok = hi > lo
+        if not ok.any():
+            return empty
+        qk, qt = ck[ok], ct[ok]
+        order = np.lexsort((qt, qk))
+        qk, qt = qk[order], qt[order]
+        first = np.concatenate(([True], qk[1:] != qk[:-1]))
+        return pa.table(
+            {
+                by: pa.array(qk[first], type=pa.int64()),
+                "first_conv_ts_us": pa.array(qt[first], type=pa.int64()),
+            }
+        )
+
+    return tagged.groupby("_bucket").map_groups(
+        _resolve, batch_format="pyarrow"
+    )
+
+
 def grouped_top_k(
     ds: rd.Dataset,
     k: int,
