@@ -340,20 +340,45 @@ def dedupe_keep_best(
 
     Scale shape: grouped argmax over full rows — one keyed wide
     all-to-all (the keeper row must survive with its payload, same as
-    ``dedupe_shuffle``); keeper choice per group is vectorized. When
-    the payload is heavy and groups are dupe-sparse, run this over a
-    narrow (group, score, id) projection instead and anti-filter with
-    the broadcast keeper set (the stages/exact.py drop-set pattern).
+    ``dedupe_shuffle``), BUCKETED: rows hash-partition on the group
+    key's 64-bit fingerprint (each group wholly in one bucket) and one
+    C-level pandas sort + drop_duplicates per bucket picks the keepers
+    — Python dispatch count is #buckets, not #groups (the
+    grouped_ordered_concat rationale). When the payload is heavy and
+    groups are dupe-sparse, run this over a narrow (group, score, id)
+    projection instead and anti-filter with the broadcast keeper set
+    (the drop-set pattern).
     """
+    import ray as _ray
 
-    def _best(group: pa.Table) -> pa.Table:
-        scores = group[score_col].to_numpy(zero_copy_only=False)
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        at_max = scores == scores.max()
-        sel = int(np.flatnonzero(at_max)[np.argmin(ids[at_max])])
-        return group.take([sel])
+    from deduper_ray.functions.hashing import fingerprint64
 
-    return ds.groupby(group_col).map_groups(_best, batch_format="pyarrow")
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    num_partitions = max(4, min(128, cpus * 2))
+
+    def _tag(t: pa.Table) -> pa.Table:
+        col = t[group_col]
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(
+            col.type
+        ):
+            col = pc.cast(col, pa.string())
+        fp = np.asarray(fingerprint64(pc.fill_null(col, "")))
+        bucket = (fp % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("_bucket", pa.array(bucket))
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [group_col, score_col, id_col],
+            ascending=[True, False, True],
+        )
+        out = df.drop_duplicates(subset=[group_col], keep="first")
+        return out.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(_best, batch_format="pandas")
+    )
 
 
 def dedupe_shuffle(hashed: rd.Dataset, *, hash_col: str = HASH_COL) -> rd.Dataset:

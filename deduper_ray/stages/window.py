@@ -131,8 +131,15 @@ def window_dedupe(
     rule applies per (keys..., window) — the standard at-least-once
     event-log compaction. One keyed all-to-all of full rows (the row
     must survive, so the payload has to move — same shape as
-    ``stages.exact.dedupe_shuffle``); keeper choice per group is
-    vectorized numpy, no per-row Python."""
+    ``stages.exact.dedupe_shuffle``), BUCKETED on the key tuple so the
+    Python dispatch count is #buckets, not #(key × window) groups; one
+    C-level pandas sort + drop_duplicates per bucket."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    num_partitions = max(4, min(128, cpus * 2))
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
     windowed = events.map_batches(
         lambda t: add_tumbling_window(
             t, ts_column=ts_column, window_sec=window_sec
@@ -140,17 +147,35 @@ def window_dedupe(
         batch_format="pyarrow",
     )
 
-    def _first(group: pa.Table) -> pa.Table:
-        ts = pc.cast(group[ts_column], pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        ids = group[id_column].to_numpy(zero_copy_only=False)
-        at_min = ts == ts.min()
-        sel = int(np.flatnonzero(at_min)[np.argmin(ids[at_min])])
-        return group.take([sel]).drop_columns(["window_start"])
+    def _tag(t: pa.Table) -> pa.Table:
+        mix = np.zeros(t.num_rows, dtype=np.uint64)
+        for k in keys:
+            col = t[k]
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type
+            ):
+                from deduper_ray.functions.hashing import fingerprint64
 
-    return windowed.groupby(keys + ["window_start"]).map_groups(
-        _first, batch_format="pyarrow"
+                v = np.asarray(fingerprint64(pc.fill_null(col, "")))
+            else:
+                v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            mix = (mix ^ v) * GOLD
+        bucket = ((mix >> np.uint64(33)) % np.uint64(num_partitions)).astype(
+            np.int64
+        )
+        return t.append_column("_bucket", pa.array(bucket))
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            keys + ["window_start", ts_column, id_column]
+        )
+        out = df.drop_duplicates(subset=keys + ["window_start"], keep="first")
+        return out.drop(columns=["_bucket", "window_start"])
+
+    return (
+        windowed.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(_first, batch_format="pandas")
     )
 
 
