@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_neardup_docs": q.incremental_neardup_docs,
         "simhash_docs": q.simhash_docs,
         "ngram_jaccard_pairs_docs": q.ngram_jaccard_pairs_docs,
+        "containment_pairs_docs": q.containment_pairs_docs,
         "ann_topk_embeddings": q.ann_topk_embeddings,
         "ivf_topk_embeddings": q.ivf_topk_embeddings,
         "embedding_neardup_pairs": q.embedding_neardup_pairs,
@@ -341,6 +342,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b.doc_id
             GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
             HAVING count(*)::DOUBLE / (sa.n + sb.n - count(*)) >= 0.2
+            ORDER BY id_a, id_b
+        """,
+        # directed containment: same distinct-4-gram sets as the
+        # jaccard twin, divided by the SOURCE side's set size only
+        "containment_pairs_docs": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, substr(text, g.i::INT, 4) AS gram
+                FROM d, LATERAL (
+                    SELECT unnest(range(1, greatest(length(text) - 2, 2))) AS i
+                ) g
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM sh a
+                JOIN sh b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, ni::DOUBLE / sa.n AS containment
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+            WHERE ni::DOUBLE / sa.n >= 0.5
             ORDER BY id_a, id_b
         """,
         # md5_number_lower(gram) == engine's

@@ -696,6 +696,48 @@ def ngram_jaccard_pairs_docs(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
 
+def containment_pairs_docs(sf_dir: str) -> pd.DataFrame:
+    """Directed n-gram containment C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|
+    over the leading 50-doc block (k=4 shingles) — the ASYMMETRIC
+    near-dup signal (quote/subset detection) that Jaccard misses when
+    the containing doc is much larger. Same int-operand division as
+    the Jaccard twin, bit-identical doubles on both sides."""
+    import pyarrow.parquet as pq
+
+    docs = (
+        pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .head(50)
+    )
+    ids = docs["doc_id"].tolist()
+
+    def _shingles(t: str) -> set:
+        # raw distinct 4-char substrings — the oracle's substr() sets
+        # (docs are ASCII, so byte shingles == character substrings)
+        if len(t) <= 4:
+            return {t} if t else set()
+        return {t[j:j + 4] for j in range(len(t) - 3)}
+
+    shingle_sets = [_shingles(t) for t in docs["text"]]
+    rows = []
+    for i in range(len(ids)):
+        if not shingle_sets[i]:
+            continue
+        for j in range(len(ids)):
+            if i == j or not shingle_sets[j]:
+                continue
+            inter = len(shingle_sets[i] & shingle_sets[j])
+            c = inter / len(shingle_sets[i])
+            if c >= 0.5:
+                rows.append(
+                    {"id_a": ids[i], "id_b": ids[j], "containment": c}
+                )
+    return pd.DataFrame(
+        rows, columns=["id_a", "id_b", "containment"]
+    ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-5 for the first 5 vectors as queries
     (similarity-search baseline), ORACLE-CHECKED against DuckDB's
