@@ -240,6 +240,73 @@ def _scan_sorted_block(
     )
 
 
+def _collapse_sims(narrow_in: rd.Dataset) -> rd.Dataset:
+    """(id, sim) rows → one (sim, rep_id=min id, n) row per distinct
+    fingerprint — sort + vectorized run scan with driver-stitched
+    boundary runs (the stages/exact.py group_stats shape; Ray's
+    sort-based groupby().aggregate measured ~3× slower for this
+    high-cardinality key at 10^6 rows)."""
+
+    def _scan(t: pa.Table) -> pa.Table:
+        sims = t["sim"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        n = sims.size
+        if n == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], type=pa.int8()),
+                    "sim": pa.array([], type=pa.int64()),
+                    "rep_id": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        change = np.nonzero(sims[1:] != sims[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+        rep = np.minimum.reduceat(ids, starts)
+        cnt = (ends - starts).astype(np.int64)
+        kinds = np.zeros(starts.size, dtype=np.int8)
+        kinds[0] = 1
+        kinds[-1] = 1
+        return pa.table(
+            {
+                "kind": pa.array(kinds),
+                "sim": pa.array(sims[starts], type=pa.int64()),
+                "rep_id": pa.array(rep, type=pa.int64()),
+                "n": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    scanned = (
+        narrow_in.sort("sim")
+        .map_batches(_scan, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    interior = scanned.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).drop_columns(["kind"]),
+        batch_format="pyarrow",
+    )
+    frags = scanned.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)).drop_columns(["kind"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if not len(frags):
+        return interior
+    agg = (
+        frags.groupby("sim")
+        .agg(rep_id=("rep_id", "min"), n=("n", "sum"))
+        .reset_index()
+    )
+    stitched = pa.table(
+        {
+            "sim": pa.array(agg["sim"], type=pa.int64()),
+            "rep_id": pa.array(agg["rep_id"], type=pa.int64()),
+            "n": pa.array(agg["n"], type=pa.int64()),
+        }
+    )
+    return interior.union(rd.from_arrow(stitched)).materialize()
+
+
 def simhash_neardup(
     ds: rd.Dataset,
     *,
@@ -267,8 +334,6 @@ def simhash_neardup(
     if 64 % bands:
         raise ValueError(f"bands={bands} must divide 64")
 
-    from ray.data.aggregate import Count, Min
-
     # -- identical-fingerprint collapse (the stages/collapse.py move):
     # clone families share one fingerprint, so banding the RAW rows
     # makes every band bucket quadratic in clone-family size (measured
@@ -295,9 +360,7 @@ def simhash_neardup(
         )
 
     narrow_in = ds.map_batches(_to_narrow, batch_format="pyarrow")
-    reps = narrow_in.groupby("sim").aggregate(
-        Min("id", alias_name="rep_id"), Count(alias_name="n")
-    ).materialize()
+    reps = _collapse_sims(narrow_in)
     rep_pts = reps.map_batches(
         lambda t: pa.table({"id": t["rep_id"], "sim": t["sim"]}),
         batch_format="pyarrow",
