@@ -74,6 +74,10 @@ class DedupeConfig:
     # "summary": dupes sink written DISTRIBUTED from the per-hash stats
     #   (hash, first_found_row_number, dupe_count), report.dupes empty —
     #   for adversarial dupe volumes (SCALE.md exact-dedup notes)
+    # "distributed": FULL reference K3 schema (hash, row_ids json,
+    #   first_found_row_number, dupe_values) assembled and written
+    #   entirely distributed (stages/exact.py dupe_groups_ds);
+    #   report.dupes empty — full sink fidelity at adversarial volumes
     dupes_detail: str = "full"
 
 

@@ -13,13 +13,15 @@ Scale shape: the quality gate and annotations are stateless vectorized
 map stages; decontamination broadcasts the (small) benchmark set;
 exact dedup shuffles only (key, id); near-dup is the checkpointed LSH
 pipeline; the final annotated corpus streams to partitioned parquet.
-The driver holds per-stage COUNTS only (plus the keeper id set of the
-exact stage — bounded by distinct keys, the documented trade of the
-broadcast formulation; use dedupe_shuffle for dupe-heavy corpora).
+The driver holds per-stage COUNTS only, plus two DUPE-BOUNDED id
+sets: the exact stage's drop set (non-keeper row ids, elected
+distributed via stages/exact.py policy_drop_ids — never one id per
+distinct key) and the near-dup stage's clustered-doc drops.
 """
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from dataclasses import asdict, dataclass, field
@@ -68,6 +70,7 @@ class CurationResult:
     n_gated: int = 0
     n_decontaminated: int = 0
     n_exact_unique: int = 0
+    n_exact_drops: int = -1  # driver-resident drop-set size (dupe-bounded)
     n_after_neardup: int = 0
     stages_skipped: list[str] = field(default_factory=list)
     wall_sec: float = 0.0
@@ -167,6 +170,7 @@ def _run_curation(
     # ---- stage 2: decontaminate (optional) --------------------------
     t = time.time()
     current = gated
+    prev_dir = gate_dir
     if cfg.benchmark_grams:
         dec_dir = os.path.join(out_dir, "decontaminated")
         if resume and stage_is_complete(dec_dir, chash):
@@ -185,6 +189,7 @@ def _run_curation(
                 clean, dec_dir, stage="decontaminated", cfg_hash=chash,
                 inputs=[gate_dir],
             )
+        prev_dir = dec_dir
     res.n_decontaminated = current.count()
     res.stage_sec["decontaminated"] = round(time.time() - t, 3)
 
@@ -195,50 +200,43 @@ def _run_curation(
         current = read_stage(ex_dir)
         res.stages_skipped.append("exact")
     else:
-        from ray.data.aggregate import Min
-
         from deduper_ray.functions.hashing import md5_hex_array
+        from deduper_ray.stages.exact import make_drop_filter, policy_drop_ids
 
         def _key(b: pa.Table) -> pa.Table:
             col = b[tcol]
             key = _norm_key(col) if cfg.normalize_key else col
             # group on the MD5 of the key, not the key itself — the
-            # groupby all-to-all then moves 32-byte hashes instead of
+            # sort all-to-all then moves 32-byte hashes instead of
             # whole documents (measured 30.8 s → narrow at 100k code
             # files; same crypto-key rationale as stages/exact.py)
             return pa.table(
-                {"_k": md5_hex_array(key), "row_id": b["row_id"]}
+                {"_k": md5_hex_array(pc.fill_null(key, "")), "row_id": b["row_id"]}
             )
 
-        keepers = (
-            current.map_batches(_key, batch_format="pyarrow")
-            .groupby("_k")
-            .aggregate(Min("row_id", alias_name="keep_id"))
+        # Keeper election is distributed (stages/exact.py
+        # policy_drop_ids): the driver holds only the DROP set — row
+        # ids of non-keeper rows, bounded by dupe volume — never one
+        # id per distinct key (O(corpus) for mostly-unique corpora;
+        # VERDICT r3 finding #1).
+        drops, dstats = policy_drop_ids(
+            current.map_batches(_key, batch_format="pyarrow"),
+            key_col="_k",
+            id_col="row_id",
         )
-        keep_ids: list[np.ndarray] = []
-        for batch in keepers.iter_batches(
-            batch_size=262144, batch_format="pyarrow"
-        ):
-            keep_ids.append(
-                batch["keep_id"].to_numpy(zero_copy_only=False)
-            )
-        keep_ref = ray.put(
-            np.sort(np.concatenate(keep_ids))
-            if keep_ids
-            else np.empty(0, np.int64)
+        res.n_exact_drops = int(drops.size)
+        logging.getLogger(__name__).info(
+            "curate exact stage: driver-resident drop set = %d ids "
+            "(%.2f MB) — bounded by dupe volume, not corpus size",
+            drops.size, drops.nbytes / 1e6,
         )
-
-        def _keep(b: pa.Table) -> pa.Table:
-            keep = ray.get(keep_ref)
-            if keep.size == 0:
-                return b.slice(0, 0)
-            ids = b["row_id"].to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(keep, ids), keep.size - 1)
-            return b.filter(pa.array(keep[pos] == ids))
-
+        drop_ref = ray.put(drops)
         current = write_stage(
-            current.map_batches(_keep, batch_format="pyarrow"),
-            ex_dir, stage="exact", cfg_hash=chash, inputs=[gate_dir],
+            current.map_batches(
+                make_drop_filter(drop_ref, id_col="row_id"),
+                batch_format="pyarrow",
+            ),
+            ex_dir, stage="exact", cfg_hash=chash, inputs=[prev_dir],
         )
     res.n_exact_unique = current.count()
     res.stage_sec["exact"] = round(time.time() - t, 3)

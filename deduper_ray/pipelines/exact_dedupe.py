@@ -132,13 +132,17 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                 f"{cfg.execution_timeout_sec} before stage {stage!r}"
             )
 
-    if cfg.dupes_detail == "summary" and cfg.hashes_path and cfg.include_json:
-        # same upfront guard as the target sink: summary mode has no
-        # driver drop-set, so the include_json hashes sink would write
-        # every row and only fail later at K5 reconciliation
+    if (
+        cfg.dupes_detail in ("summary", "distributed")
+        and cfg.hashes_path
+        and cfg.include_json
+    ):
+        # same upfront guard as the target sink: summary/distributed
+        # modes have no driver drop-set, so the include_json hashes
+        # sink would write every row and only fail at K5 reconciliation
         raise ValueError(
-            "dupes_detail='summary' skips the driver drop-set; "
-            "hashes_path with include_json=True requires "
+            f"dupes_detail={cfg.dupes_detail!r} skips the driver "
+            "drop-set; hashes_path with include_json=True requires "
             "dupes_detail='full'"
         )
     hashed, schema_cols = build_hashed_dataset(cfg)
@@ -197,9 +201,11 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
     hash_count = unseen_groups + n_preloaded  # preload-inclusive, DeduperTest.kt:408
 
     # -- dupe groups (bounded by dupe volume, like reference dupeMap).
-    #    dupes_detail="summary" keeps everything distributed instead
-    #    (empty report.dupes; stats-derived sink below) ---------------
-    if cfg.dupes_detail == "summary":
+    #    dupes_detail="summary" / "distributed" keep everything
+    #    distributed instead (empty report.dupes; summary writes a
+    #    stats-derived sink, distributed writes the full dupe-group
+    #    rows as a Dataset — see sink below) --------------------------
+    if cfg.dupes_detail in ("summary", "distributed"):
         dupes_df = pd.DataFrame(
             {
                 "hash": pd.Series([], dtype=str),
@@ -210,8 +216,9 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
         )
         if cfg.target_path and cfg.dedupe_strategy != "shuffle":
             raise ValueError(
-                "dupes_detail='summary' skips the driver drop-set; use "
-                "dedupe_strategy='shuffle' for the target sink"
+                f"dupes_detail={cfg.dupes_detail!r} skips the driver "
+                "drop-set; use dedupe_strategy='shuffle' for the "
+                "target sink"
             )
     else:
         dupes_df = dupe_group_details(
@@ -379,6 +386,37 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                     )
                 else:
                     summary_ds.write_parquet(cfg.dupes_path)
+                    written["dupes"] = _count_parquet(cfg.dupes_path)
+        elif cfg.dupes_detail == "distributed":
+            # full dupe-group rows (reference K3 schema: hash, row_ids
+            # json, first_found_row_number, dupe_values) assembled and
+            # written entirely distributed — nothing dupe-sized on the
+            # driver (stages/exact.py dupe_groups_ds)
+            from deduper_ray.stages.exact import dupe_groups_ds
+
+            groups_sink = dupe_groups_ds(
+                hashed, stats, columns_for_json=schema_cols
+            )
+            with _sink_guard("dupes"):
+                if is_sqlite_url(cfg.dupes_path):
+                    db, table, _ = parse_sqlite_url(cfg.dupes_path)
+                    written["dupes"] = write_sqlite_table(
+                        groups_sink, db, table or "dupes",
+                        primary_key="hash",
+                    )
+                elif cfg.target_format == "csv":
+                    from deduper_ray.sources.csv_io import write_csv_sink
+
+                    write_csv_sink(
+                        groups_sink, cfg.dupes_path,
+                        delimiter=cfg.csv_delimiter,
+                        extension=cfg.csv_extension,
+                    )
+                    written["dupes"] = _count_csv(
+                        cfg.dupes_path, cfg.csv_delimiter
+                    )
+                else:
+                    groups_sink.write_parquet(cfg.dupes_path)
                     written["dupes"] = _count_parquet(cfg.dupes_path)
         else:
             dupes_sink = pa.table(

@@ -42,9 +42,12 @@ def shingle_hashes(data: bytes | memoryview, k: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     if n <= k:
-        h = np.uint64(0)
-        for v in b:
-            h = h * _ROLL_MULT + v
+        # wraparound multiply is intended; errstate keeps scalar-path
+        # RuntimeWarnings out of the logs (array ops never warn)
+        with np.errstate(over="ignore"):
+            h = np.uint64(0)
+            for v in b:
+                h = h * _ROLL_MULT + v
         return np.array([h], dtype=np.uint64)
     m = n - k + 1
     h = np.zeros(m, dtype=np.uint64)
@@ -63,9 +66,10 @@ def token_shingle_hashes(data: bytes, k: int, token_pattern) -> np.ndarray:
         (hashless(t) for t in toks), dtype=np.uint64, count=len(toks)
     )
     if th.size <= k:
-        h = np.uint64(0)
-        for v in th:
-            h = h * _ROLL_MULT + v
+        with np.errstate(over="ignore"):
+            h = np.uint64(0)
+            for v in th:
+                h = h * _ROLL_MULT + v
         return np.array([h], dtype=np.uint64)
     m = th.size - k + 1
     h = np.zeros(m, dtype=np.uint64)

@@ -83,9 +83,17 @@ def partitioned_join(
     on: list[str] | str,
     *,
     how: str = "inner",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
-    """Large×large hash-partitioned join (one all-to-all per side)."""
+    """Large×large hash-partitioned join (one all-to-all per side).
+
+    Default partition count scales with cluster CPUs — Ray's hash
+    shuffle spawns one aggregator per partition (0.125 CPU each) and a
+    64-partition join DEADLOCKS a ≤4-CPU cluster waiting for
+    aggregator slots."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(64, cpus * 2))
     on = (on,) if isinstance(on, str) else tuple(on)
     return left.join(
         right,
