@@ -41,9 +41,25 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def _rp(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """``read_parquet`` + schema-metadata strip. The testdata parquet
+    carries a ``pandas`` metadata dict, which makes ``pa.Schema``
+    unhashable and trips Ray's per-aggregate schema-dedup warning
+    ("Failed to hash the schemas", transform_pyarrow.py). Stripping it
+    in a fused map keeps logs signal-only and re-enables Ray's
+    early-exit schema hash."""
+    return rd.read_parquet(path, columns=columns).map_batches(
+        _strip_meta, batch_format="pyarrow"
+    )
+
+
 def _docs_hashed(sf_dir: str, hash_keys: tuple[str, ...]) -> rd.Dataset:
     """documents + reference row hash; doc_id is the ordinal."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"))
+    ds = _rp(_t(sf_dir, "documents"))
     return ds.map_batches(
         lambda t: add_hash_columns(t, hash_keys, hash_col=HASH_COL),
         batch_format="pyarrow",
@@ -172,7 +188,7 @@ def sample_hash_docs(sf_dir: str) -> pd.DataFrame:
     from deduper_ray.functions.hashing import md5_hex_array, stringify_columns
 
     first = dataset_to_table(
-        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         .sort("doc_id")
         .limit(1)
     )
@@ -190,7 +206,7 @@ def sample_hash_docs(sf_dir: str) -> pd.DataFrame:
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q1-shaped grouped aggregate over lineitem (grouped
     aggregation coverage; gap table 'Grouped aggregations')."""
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "lineitem"),
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
@@ -267,7 +283,7 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     nation = pq.read_table(
         _t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
     ).to_pandas()
-    orders = rd.read_parquet(
+    orders = _rp(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     ).map_batches(
         lambda t: pa.table(
@@ -302,7 +318,7 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 def topk_orders(sf_dir: str) -> pd.DataFrame:
     """Top-10 orders by totalprice (partial-top-k merge, no global
     sort; gap table 'Sort / top-k / limit')."""
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
     )
     out = top_k(
@@ -318,7 +334,7 @@ def topk_docs_per_lang(sf_dir: str) -> pd.DataFrame:
     + driver merge; the per-language curation shape)."""
     from deduper_ray.stages.relational import grouped_top_k
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
     )
     out = grouped_top_k(
@@ -334,7 +350,7 @@ def topk_docs_per_lang(sf_dir: str) -> pd.DataFrame:
 
 
 def distinct_event_types(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    ds = _rp(_t(sf_dir, "events"), columns=["event_type"])
     df = dataset_to_table(distinct(ds, ["event_type"])).to_pandas()
     return df.sort_values("event_type").reset_index(drop=True)
 
@@ -342,7 +358,7 @@ def distinct_event_types(sf_dir: str) -> pd.DataFrame:
 def union_high_low_value_events(sf_dir: str) -> pd.DataFrame:
     """Set-op coverage: union of two disjoint filtered streams equals a
     single-pass filter (gap table 'Set ops')."""
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "value"]
     )
     hi = ds.map_batches(
@@ -360,7 +376,7 @@ def union_high_low_value_events(sf_dir: str) -> pd.DataFrame:
 # ----------------------------------------------------------------- text
 
 def token_count_docs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(
         lambda t: add_token_count(t).drop_columns(["text"]),
         batch_format="pyarrow",
@@ -369,7 +385,7 @@ def token_count_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def quality_docs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(
         lambda t: add_quality_scores(t).drop_columns(["text"]),
         batch_format="pyarrow",
@@ -381,7 +397,7 @@ def quality_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def lang_id_docs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(
         LangIdScorer,
         fn_constructor_kwargs={"text_column": "text"},
@@ -392,7 +408,7 @@ def lang_id_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(
         lambda t: add_fingerprint(t).drop_columns(["text"]),
         batch_format="pyarrow",
@@ -403,7 +419,7 @@ def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
 # -------------------------------------------------------------- windows
 
 def window_tumbling_events(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
     ).map_batches(
         lambda t: t.append_column(
@@ -430,7 +446,7 @@ def window_sliding_events(sf_dir: str) -> pd.DataFrame:
     explosion + native groupby; SURVEY §2.5 'Windows')."""
     from deduper_ray.stages.window import sliding_aggregate
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
     ).map_batches(
         lambda t: t.append_column(
@@ -463,7 +479,7 @@ def asof_latest_order_per_event(sf_dir: str) -> pd.DataFrame:
     from deduper_ray.stages.relational import asof_join
 
     orders = (
-        rd.read_parquet(
+        _rp(
             _t(sf_dir, "orders"),
             columns=["o_custkey", "o_orderdate", "o_orderkey"],
         )
@@ -478,7 +494,7 @@ def asof_latest_order_per_event(sf_dir: str) -> pd.DataFrame:
             batch_format="pyarrow",
         )
     )
-    events = rd.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
     )
     out = asof_join(
@@ -492,7 +508,7 @@ def intersect_click_buy_users(sf_dir: str) -> pd.DataFrame:
     """Set-op INTERSECT: users with both 'click' and 'purchase' events —
     distinct per side, small side broadcast as a semi-join filter
     (gap table 'Set ops': intersect = broadcast semi-join)."""
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["user_id", "event_type"]
     )
 
@@ -528,7 +544,7 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     The oracle computes the same exact count and expects TRUE."""
     from deduper_ray.functions.sketches import approx_distinct
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id"])
     est = approx_distinct(ds, "user_id", p=12)
     exact = distinct(ds, ["user_id"]).count()
     ok = abs(est - exact) / max(exact, 1) <= 0.05
@@ -551,7 +567,7 @@ def approx_quantiles_events(sf_dir: str) -> pd.DataFrame:
     from deduper_ray.functions.sketches import approx_quantiles
 
     qs = [0.1, 0.5, 0.95]
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"]).materialize()
+    ds = _rp(_t(sf_dir, "events"), columns=["value"]).materialize()
     ests, sketch = approx_quantiles(ds, "value", qs, k=256, seed=7)
     ests_arr = np.asarray(ests)
 
@@ -596,7 +612,7 @@ def sample_docs(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus down-sampling by row-id modulus (SURVEY
     §2.5 'Sampling': reproducible under any parallelism, unlike
     random_sample)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"))
+    ds = _rp(_t(sf_dir, "documents"))
 
     def _mod(t: pa.Table) -> pa.Table:
         keep = t["doc_id"].to_numpy(zero_copy_only=False) % 10 == 3
@@ -607,7 +623,7 @@ def sample_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def sessionize_events(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id", "ts"])
     out = session_windows(ds, key="user_id", gap_sec=1800).to_pandas()
     return (
         out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
@@ -635,7 +651,7 @@ def neardup_clusters_docs(sf_dir: str) -> pd.DataFrame:
         text_column="text", shingle_k=8, num_perms=128, bands=32,
         threshold=0.7, verify_mode="exact",
     )
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     ds = ds.map_batches(
         lambda t: t.append_column("row_id", pc.cast(t["doc_id"], pa.int64())),
         batch_format="pyarrow",
@@ -655,7 +671,7 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
     and is covered by pytest equivalence."""
     from deduper_ray.functions.text import add_simhash_md5
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(
         lambda t: add_simhash_md5(t, shingle_k=8).drop_columns(["text"]),
         batch_format="pyarrow",
@@ -752,7 +768,7 @@ def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     tbl = pq.read_table(_t(sf_dir, "embeddings"))
     q = np.stack(tbl["embedding"].to_pylist()[:5]).astype(np.float64)
     qids = tbl["vec_id"].to_numpy(zero_copy_only=False)[:5]
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    ds = _rp(_t(sf_dir, "embeddings"))
     out = brute_force_topk(ds, qids, q, k=5).to_pandas()
     out["score"] = out["score"].round(6)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
@@ -776,7 +792,7 @@ def ivf_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     tbl = pq.read_table(_t(sf_dir, "embeddings"))
     q = np.stack(tbl["embedding"].to_pylist()[:5]).astype(np.float64)
     qids = tbl["vec_id"].to_numpy(zero_copy_only=False)[:5]
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    ds = _rp(_t(sf_dir, "embeddings"))
     out = ivf_topk(
         ds, qids, q, k=5, n_cells=16, n_probe=16, sample_mod=2,
     ).to_pandas()
@@ -800,7 +816,7 @@ def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
 
     from deduper_ray.stages.ann import embedding_neardup
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    ds = _rp(_t(sf_dir, "embeddings"))
     d = len(
         pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"])
         ["embedding"][0]
@@ -823,7 +839,7 @@ def pii_redact_docs(sf_dir: str) -> pd.DataFrame:
     SQL and the redaction via RE2 ``regexp_replace(...,'g')``."""
     from deduper_ray.functions.text import redact_pii
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def _aug(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -860,7 +876,7 @@ def top_tokens_docs(sf_dir: str) -> pd.DataFrame:
     combiner, partial-top-k merge)."""
     from deduper_ray.stages.relational import token_heavy_hitters
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["text"])
     return token_heavy_hitters(ds, text_column="text", k=25).to_pandas()
 
 
@@ -873,7 +889,7 @@ def curate_docs(sf_dir: str) -> pd.DataFrame:
     volume). Output: (doc_id, lang, n_tokens) of surviving docs."""
     from deduper_ray.functions.text import add_quality_scores, add_token_count
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
     )
 
@@ -947,7 +963,7 @@ def unigram_logprob_docs(sf_dir: str) -> pd.DataFrame:
     oracle (same protocol as the fixed-decimal aggregates)."""
     from ray.data.aggregate import Sum as _Sum
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "documents"), columns=["doc_id", "text"]
     ).materialize()
 
@@ -1027,7 +1043,7 @@ def incremental_neardup_docs(sf_dir: str) -> pd.DataFrame:
         text_column="text", shingle_k=8, num_perms=128, bands=32,
         threshold=0.7, simhash_bits=0, verify_mode="exact",
     )
-    docs = rd.read_parquet(
+    docs = _rp(
         _t(sf_dir, "documents"), columns=["doc_id", "text"]
     ).map_batches(
         lambda t: t.append_column(
@@ -1063,7 +1079,7 @@ def top_tokens_mg_docs(sf_dir: str) -> pd.DataFrame:
     true at every SF for this corpus, so the oracle is the same SQL."""
     from deduper_ray.stages.relational import token_heavy_hitters_mg
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["text"])
     return token_heavy_hitters_mg(
         ds, text_column="text", k=25, capacity=4096
     ).to_pandas()
@@ -1078,7 +1094,7 @@ def quantiles_float_events(sf_dir: str) -> pd.DataFrame:
     enumeration."""
     from deduper_ray.stages.relational import grouped_quantiles_binned
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_type", "value"]
     )
     out = grouped_quantiles_binned(
@@ -1095,7 +1111,7 @@ def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     on the distributed grouped_row_number)."""
     from deduper_ray.stages.relational import stratified_sample
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"))
+    ds = _rp(_t(sf_dir, "documents"))
     out = stratified_sample(ds, key="lang", order_col="doc_id", every_k=7)
     return (
         dataset_to_table(out)
@@ -1113,7 +1129,7 @@ def quantiles_orders_priority(sf_dir: str) -> pd.DataFrame:
     (stages/relational.py grouped_quantiles)."""
     from deduper_ray.stages.relational import grouped_quantiles
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"]
     )
 
@@ -1143,7 +1159,7 @@ def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     from deduper_ray.stages.decontam import decontaminate
 
     bench_tbl = dataset_to_table(
-        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         .map_batches(
             lambda t: pa.table(
                 {
@@ -1163,7 +1179,7 @@ def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
         )
     )
     grams = bench_tbl["gram"].to_pylist()
-    ds = rd.read_parquet(_t(sf_dir, "documents"))
+    ds = _rp(_t(sf_dir, "documents"))
     out = decontaminate(ds, grams, mode="substring")
     return (
         dataset_to_table(out)
@@ -1181,7 +1197,7 @@ def chunk_dedupe_docs(sf_dir: str) -> pd.DataFrame:
     chunks (empty string when fully deduplicated)."""
     from deduper_ray.stages.chunkdedup import chunk_dedupe
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = chunk_dedupe(ds, chunk_chars=32, num_partitions=8)
     return (
         dataset_to_table(out)
@@ -1197,7 +1213,7 @@ def join_orders_customers(sf_dir: str) -> pd.DataFrame:
     per-market-segment order counts + exact cent totals."""
     from deduper_ray.stages.relational import partitioned_join
 
-    orders = rd.read_parquet(
+    orders = _rp(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     ).map_batches(
         lambda t: pa.table(
@@ -1210,7 +1226,7 @@ def join_orders_customers(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    customer = rd.read_parquet(
+    customer = _rp(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
         lambda t: pa.table(
@@ -1256,7 +1272,7 @@ def semantic_dedupe_embeddings(sf_dir: str) -> pd.DataFrame:
     corpus scale)."""
     from deduper_ray.stages.ann import semantic_dedupe
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    ds = _rp(_t(sf_dir, "embeddings"))
     out = semantic_dedupe(ds, threshold=0.45, n_cells=1)
     return (
         dataset_to_table(out)
@@ -1271,7 +1287,7 @@ def repetition_docs(sf_dir: str) -> pd.DataFrame:
     add_repetition_stats): dup-word and top-word ratios per doc."""
     from deduper_ray.functions.text import add_repetition_stats
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = (
         dataset_to_table(
             ds.map_batches(
@@ -1292,7 +1308,7 @@ def except_users_no_big_purchase(sf_dir: str) -> pd.DataFrame:
     same shape as the seen-hash filter O8)."""
     from deduper_ray.stages.relational import distinct
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "value"]
     )
 
@@ -1338,7 +1354,7 @@ def dedup_keep_best_docs(sf_dir: str) -> pd.DataFrame:
     rule (Deduper.kt:207-240) to a quality policy."""
     from deduper_ray.stages.exact import dedupe_keep_best
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"))
+    ds = _rp(_t(sf_dir, "documents"))
     keyed = ds.map_batches(
         lambda t: t.append_column(
             "_pfx", pc.utf8_slice_codeunits(t["text"], 0, 32)
@@ -1359,7 +1375,7 @@ def window_dedup_events(sf_dir: str) -> pd.DataFrame:
     (stages/window.py window_dedupe)."""
     from deduper_ray.stages.window import window_dedupe
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"),
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -1385,7 +1401,7 @@ def simhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
     from deduper_ray.functions.text import add_simhash_md5
     from deduper_ray.stages.simhash_nd import simhash_neardup
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     sims = ds.map_batches(
         lambda t: add_simhash_md5(t, shingle_k=8).select(
             ["doc_id", "simhash"]
@@ -1405,10 +1421,10 @@ def range_join_orders_events(sf_dir: str) -> pd.DataFrame:
     lexicographic rank difference per bucket)."""
     from deduper_ray.stages.relational import range_join_count
 
-    events = rd.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["user_id", "ts"]
     )
-    orders = rd.read_parquet(
+    orders = _rp(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(
         lambda t: t.rename_columns(["o_orderkey", "user_id", "o_orderdate"]),
@@ -1431,7 +1447,7 @@ def events_above_p99(sf_dir: str) -> pd.DataFrame:
     two-phase shape of any 'compare to a group statistic' filter."""
     from deduper_ray.stages.relational import grouped_quantiles_binned
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     )
     q = grouped_quantiles_binned(
@@ -1464,7 +1480,7 @@ def tfidf_top_terms_docs(sf_dir: str) -> pd.DataFrame:
 
     from deduper_ray.stages.relational import grouped_top_k
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     n_docs = docs.count()
 
     def _explode(t: pa.Table) -> pa.Table:
@@ -1534,7 +1550,7 @@ def fuzzy_match_parts(sf_dir: str) -> pd.DataFrame:
     levenshtein (byte==codepoint on this ASCII column)."""
     from deduper_ray.stages.linkage import fuzzy_block_pairs
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "part"), columns=["p_partkey", "p_name", "p_brand"]
     )
     out = fuzzy_block_pairs(
@@ -1553,7 +1569,7 @@ def histogram_event_values(sf_dir: str) -> pd.DataFrame:
     truncates; events.value ≥ 0 by schema)."""
     from ray.data.aggregate import Count
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_type", "value"]
     )
 
@@ -1584,7 +1600,7 @@ def corr_value_hour_by_type(sf_dir: str) -> pd.DataFrame:
     6-dp rounding."""
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
     )
 
@@ -1649,7 +1665,7 @@ def bottomk_sample_docs(sf_dir: str) -> pd.DataFrame:
     from deduper_ray.functions.hashing import _utf8_slices
     from deduper_ray.stages.relational import top_k
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"))
+    ds = _rp(_t(sf_dir, "documents"))
 
     def _prio(t: pa.Table) -> pa.Table:
         offsets, data = _utf8_slices(t["text"])
@@ -1680,7 +1696,7 @@ def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
     vector analogue of the q1 pre-aggregation."""
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "embeddings"), columns=["label", "embedding"]
     )
 
@@ -1734,7 +1750,7 @@ def events_quartile_buckets(sf_dir: str) -> pd.DataFrame:
     both sides."""
     from deduper_ray.stages.relational import grouped_quantiles_binned
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     )
     q = grouped_quantiles_binned(
@@ -1778,7 +1794,7 @@ def normalized_dedup_docs(sf_dir: str) -> pd.DataFrame:
     replace_substring_regex); the key stays a narrow projection."""
     from ray.data.aggregate import Count, Min
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"))
+    ds = _rp(_t(sf_dir, "documents"))
 
     def _norm(t: pa.Table) -> pa.Table:
         from deduper_ray.functions.hashing import md5_hex_array
@@ -1824,7 +1840,7 @@ def funnel_click_to_purchase(sf_dir: str) -> pd.DataFrame:
     Python)."""
     from deduper_ray.stages.relational import funnel_first_conversion
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
     )
     clicks = ds.map_batches(
@@ -1860,7 +1876,7 @@ def hash_sample_docs(sf_dir: str) -> pd.DataFrame:
 
     from deduper_ray.functions.hashing import _utf8_slices
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"))
+    ds = _rp(_t(sf_dir, "documents"))
 
     def _keep(t: pa.Table) -> pa.Table:
         offsets, data = _utf8_slices(t["text"])
@@ -1923,7 +1939,7 @@ def rollup_event_value(sf_dir: str) -> pd.DataFrame:
     the rolled-up levels, like SQL ROLLUP."""
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
     ).map_batches(
         lambda t: pa.table(
@@ -1977,7 +1993,7 @@ def fuzzy_match_parts_jw(sf_dir: str) -> pd.DataFrame:
     value, identically on both sides."""
     from deduper_ray.stages.linkage import fuzzy_block_pairs
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "part"), columns=["p_partkey", "p_name", "p_brand"]
     )
     out = fuzzy_block_pairs(
@@ -1996,7 +2012,7 @@ def user_event_sequences(sf_dir: str) -> pd.DataFrame:
     #users, C-level pandas agg inside each bucket task."""
     from deduper_ray.stages.relational import grouped_ordered_concat
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"]
     )
     out = grouped_ordered_concat(
@@ -2013,7 +2029,7 @@ def pivot_user_event_counts(sf_dir: str) -> pd.DataFrame:
     PIVOT (no per-category shuffle)."""
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["user_id", "event_type"]
     )
     cats = ["click", "error", "purchase", "signup", "view"]
@@ -2048,7 +2064,7 @@ def entity_resolution_parts(sf_dir: str) -> pd.DataFrame:
     from deduper_ray.stages.linkage import fuzzy_block_pairs
     from deduper_ray.state.unionfind import cluster_edges_table
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "part"), columns=["p_partkey", "p_name", "p_brand"]
     )
     pairs = fuzzy_block_pairs(
@@ -2089,7 +2105,7 @@ def snm_pairs_parts(sf_dir: str) -> pd.DataFrame:
     per-block offset scan + fringe stitching on the driver)."""
     from deduper_ray.stages.linkage import sorted_neighborhood_pairs
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "part"), columns=["p_partkey", "p_name"]
     )
     out = sorted_neighborhood_pairs(

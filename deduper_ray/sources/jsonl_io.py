@@ -33,7 +33,11 @@ import pyarrow as pa
 import pyarrow.json as pajson
 import ray.data as rd
 
-_EXTS = (".jsonl", ".ndjson", ".json")
+# directory expansion deliberately EXCLUDES plain ".json": a
+# pretty-printed multi-line JSON document is not NDJSON — it would trip
+# the count-vs-parse guard (or a one-line array would parse as one
+# bogus row). Explicit file paths still pass through untouched.
+_EXTS = (".jsonl", ".ndjson")
 
 
 def _expand_jsonl_paths(source: str | list[str]) -> list[str]:

@@ -53,6 +53,30 @@ def _expand_paths(source: str | list[str]) -> list[str]:
     return [source]
 
 
+_FORMAT_FAMILIES = {
+    ".jsonl": "jsonl", ".ndjson": "jsonl",
+    ".orc": "orc",
+    ".csv": "csv", ".txt": "csv", ".tsv": "csv",
+    ".parquet": "parquet", ".pq": "parquet",
+}
+
+
+def _require_single_format(files: list[str], source) -> None:
+    """read_table dispatches the WHOLE file list on one format; a mixed
+    directory (.jsonl next to .parquet) would silently feed foreign
+    files into the chosen reader — raise a clear error instead."""
+    fams = set()
+    for f in files:
+        ext = os.path.splitext(f)[1].lower()
+        fams.add(_FORMAT_FAMILIES.get(ext, "parquet"))
+    if len(fams) > 1:
+        raise ValueError(
+            f"source {source!r} mixes file formats {sorted(fams)}; "
+            "read_table reads one format per source — point it at a "
+            "single-format directory or an explicit file list"
+        )
+
+
 @dataclass(frozen=True)
 class _RowGroupPlan:
     path: str
@@ -129,6 +153,10 @@ def read_parquet_with_row_ids(
             rid = np.arange(
                 task["offset"], task["offset"] + part.num_rows, dtype=np.int64
             )
+            # drop file-level schema metadata (e.g. a pandas dict):
+            # it makes pa.Schema unhashable and trips Ray's
+            # schema-dedup warning at every downstream aggregate
+            part = part.replace_schema_metadata(None)
             tables.append(part.append_column(row_id_column, pa.array(rid)))
         return pa.concat_tables(tables)
 
@@ -182,6 +210,7 @@ def read_table(
             )
         return ds
     files = _expand_paths(source)
+    _require_single_format(files, source)
     if files and files[0].endswith((".jsonl", ".ndjson")):
         # NDJSON source (training-data interchange; sources/jsonl_io.py)
         from deduper_ray.sources.jsonl_io import read_jsonl_with_row_ids
@@ -231,17 +260,18 @@ def read_table(
         if cols is not None and order_by not in cols:
             cols = cols + [order_by]
         ds = rd.read_parquet(files, columns=cols)
-        if order_by != row_id_column:
 
-            def _ordinal(batch: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
+        def _ordinal(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-                return batch.append_column(
-                    row_id_column, pc.cast(batch[order_by], pa.int64())
-                )
+            batch = batch.replace_schema_metadata(None)  # unhashable-dict guard
+            if order_by == row_id_column:
+                return batch
+            return batch.append_column(
+                row_id_column, pc.cast(batch[order_by], pa.int64())
+            )
 
-            ds = ds.map_batches(_ordinal, batch_format="pyarrow")
-        return ds
+        return ds.map_batches(_ordinal, batch_format="pyarrow")
     return read_parquet_with_row_ids(
         source, columns=columns, row_id_column=row_id_column
     )

@@ -154,9 +154,13 @@ def fuzzy_block_pairs(
     ``sim``, float64) — exactly one of the two must be given.
 
     Returns (id_a, id_b, dist|sim) with id_a < id_b, exactly distinct
-    (each pair exists in exactly one block). ``max_block`` strides
-    oversized blocks (documented recall loss) — leave None for exact
-    semantics on well-chosen blocking keys.
+    (each pair exists in exactly one block). ``max_block`` TRUNCATES an
+    oversized block to its first ``max_block`` rows in (block, id)
+    order — a deterministic, prefix-biased cap (pairs among higher-id
+    rows of a hot block are lost, O(max_block²) work bound per block)
+    — leave None for exact semantics on well-chosen blocking keys; use
+    sorted-neighborhood (snm_pairs) when hot blocks need bounded work
+    WITHOUT a hard cutoff.
     """
     if (max_distance is None) == (min_similarity is None):
         raise ValueError(

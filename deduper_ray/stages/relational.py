@@ -43,6 +43,25 @@ def _fetch_broadcast(ref: ray.ObjectRef):
 _JOIN_TYPES = {"inner": "inner", "left": "left outer", "right": "right outer"}
 
 
+def _ts_us(col, name: str, fn: str) -> np.ndarray:
+    """Epoch-microsecond int64 values of a timestamp column, unit-safe.
+
+    The band-join kernels add ``window_sec * 1e6`` to these values; a
+    bare ``pc.cast(col, int64)`` would accept date32 or epoch-second
+    ints and silently make windows 10^6× off — so non-timestamp types
+    are rejected, and any timestamp unit (s/ms/us/ns) is normalized to
+    microseconds through a timestamp-to-timestamp cast."""
+    if not pa.types.is_timestamp(col.type):
+        raise TypeError(
+            f"{fn}: column {name!r} must be a timestamp type, got "
+            f"{col.type} — cast to timestamp first (window offsets are "
+            "computed in microseconds)"
+        )
+    return pc.cast(
+        pc.cast(col, pa.timestamp("us")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+
+
 def broadcast_join(
     left: rd.Dataset,
     right: pd.DataFrame | pa.Table,
@@ -354,7 +373,7 @@ def range_join_count(
 
     def _tag_points(t: pa.Table) -> pa.Table:
         key = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = pc.cast(t[point_ts], pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_us(t[point_ts], point_ts, "range_join_count")
         return pa.table(
             {
                 "_bucket": pa.array(_bucket_of(key)),
@@ -367,9 +386,7 @@ def range_join_count(
 
     def _tag_intervals(t: pa.Table) -> pa.Table:
         key = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
-        start = pc.cast(t[interval_start], pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
+        start = _ts_us(t[interval_start], interval_start, "range_join_count")
         return pa.table(
             {
                 "_bucket": pa.array(_bucket_of(key)),
@@ -497,9 +514,7 @@ def funnel_first_conversion(
                     ),
                     "k": pa.array(k),
                     "t": pa.array(
-                        pc.cast(t[ts_col], pa.int64()).to_numpy(
-                            zero_copy_only=False
-                        )
+                        _ts_us(t[ts_col], ts_col, "funnel_first_conversion")
                     ),
                 }
             )

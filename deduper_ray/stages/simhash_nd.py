@@ -36,6 +36,7 @@ Scale shape:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -172,9 +173,11 @@ def _scan_sorted_block(
     """Vectorized run scan over one band_key-sorted block: interior
     runs → verified pairs emitted inline (the fingerprints ride with
     the rows, so NO store/broadcast/second shuffle); first/last runs →
-    fragment rows (kind=1) for driver stitching, exactly the
-    stages/lsh.py pattern (a bucket split across blocks is resolved
-    once, on the driver, from its boundary fragments)."""
+    fragment rows (kind=1) for stitching, exactly the stages/lsh.py
+    pattern (a bucket split across blocks is resolved once from its
+    boundary fragments — on the driver under ``frag_driver_budget``
+    rows, else via a distributed grouped pass, since a hot band window
+    makes fragment volume O(hot-bucket size), not O(blocks))."""
     keys = t["band_key"].to_numpy(zero_copy_only=False)
     ids = t["id"].to_numpy(zero_copy_only=False)
     sims = t["sim"].to_numpy(zero_copy_only=False)
@@ -316,6 +319,7 @@ def simhash_neardup(
     bands: int = 4,
     max_bucket: int | None = None,
     edge_budget: int = 20_000_000,
+    frag_driver_budget: int = 262_144,
 ) -> rd.Dataset:
     """Cluster rows whose fingerprints are within ``max_hamming`` bits.
 
@@ -393,15 +397,47 @@ def simhash_neardup(
         lambda t: t.filter(pc.equal(t["kind"], 0)).select(["id_a", "id_b"]),
         batch_format="pyarrow",
     )
-    frags = scanned.map_batches(
+    frag_ds = scanned.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], 1)),
         batch_format="pyarrow",
-    ).to_pandas()
+    ).materialize()
     stitch_a: list[np.ndarray] = []
     stitch_b: list[np.ndarray] = []
+    # fragment volume is ≤2 RUNS per sorted block, but a hot band
+    # window spanning blocks makes whole blocks single runs — fragment
+    # ROW volume is then O(hot-bucket size), not O(blocks). Above the
+    # budget, resolve fragments with a second DISTRIBUTED grouped pass
+    # (one task per boundary bucket) instead of driver numpy.
+    n_frag_rows = frag_ds.count()
+    if n_frag_rows > frag_driver_budget:
+        def _pair_boundary_bucket(g: pa.Table) -> pa.Table:
+            uniq, idx = np.unique(
+                g["id_b"].to_numpy(zero_copy_only=False), return_index=True
+            )
+            sims_g = g["sim"].to_numpy(zero_copy_only=False)[idx]
+            key = g["id_a"][0].as_py()
+            a, b = _bucket_pairs(
+                uniq, sims_g,
+                max_hamming=max_hamming, max_bucket=max_bucket,
+                free_bits=_band_free_bits(key, bands),
+            )
+            return pa.table(
+                {
+                    "id_a": pa.array(a, type=pa.int64()),
+                    "id_b": pa.array(b, type=pa.int64()),
+                }
+            )
+
+        interior = interior.union(
+            frag_ds.groupby("id_a").map_groups(
+                _pair_boundary_bucket, batch_format="pyarrow"
+            )
+        )
+        frags = pd.DataFrame()
+    else:
+        frags = frag_ds.to_pandas()
     if len(frags):
-        # fragments of one bucket share id_a (=band_key); driver volume
-        # is bounded by boundary-run sizes (≤ 2 runs per block)
+        # fragments of one bucket share id_a (=band_key)
         fkeys = frags["id_a"].to_numpy()
         fids = frags["id_b"].to_numpy()
         fsims = frags["sim"].to_numpy()
