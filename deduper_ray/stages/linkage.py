@@ -42,7 +42,9 @@ def _codepoint_matrix(strings: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
-def levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
+def levenshtein_batch(
+    a: list[str], b: list[str], *, chunk: int = 32_768
+) -> np.ndarray:
     """Exact Levenshtein distance for each (a[i], b[i]) pair — unicode
     CODEPOINT semantics. Equal to DuckDB's ``levenshtein`` on ASCII
     (pinned by test); DuckDB counts UTF-8 BYTE edits on multibyte
@@ -50,36 +52,53 @@ def levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
     standard definition) — oracle queries therefore compare ASCII
     columns.
 
-    One DP across ALL pairs at once: the row axis is the pair batch, so
-    each of the ``max(len(a))`` character steps is pure vectorized
-    numpy. The sequential insertion recurrence along the column axis
-    collapses to a running min: cur[j] = j + min_{k ≤ j}(m[k] − k) with
-    m = min(substitution, deletion) — one ``np.minimum.accumulate``.
+    One DP across a CHUNK of pairs at once: the row axis is the pair
+    batch, so each of the ``max(len(a))`` character steps is pure
+    vectorized numpy. The sequential insertion recurrence along the
+    column axis collapses to a running min: cur[j] = j + min_{k ≤
+    j}(m[k] − k) with m = min(substitution, deletion) — one
+    ``np.minimum.accumulate``. All DP state lives in two preallocated
+    int32 buffers reused across steps, and pairs process in
+    cache-sized chunks — the naive all-pairs int64 variant measured
+    5× slower at 340k pairs from allocation/bandwidth alone.
     """
     assert len(a) == len(b)
     n = len(a)
     if n == 0:
         return np.empty(0, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        out[s:e] = _lev_chunk(a[s:e], b[s:e])
+    return out
+
+
+def _lev_chunk(a: list[str], b: list[str]) -> np.ndarray:
+    n = len(a)
     A, la = _codepoint_matrix(list(a))
     B, lb = _codepoint_matrix(list(b))
     maxla, maxlb = A.shape[1], B.shape[1]
     out = np.empty(n, dtype=np.int64)
-    cols = np.arange(maxlb + 1, dtype=np.int64)
+    cols = np.arange(maxlb + 1, dtype=np.int32)
     prev = np.tile(cols, (n, 1))
+    cur = np.empty_like(prev)
+    tmp = np.empty((n, maxlb), dtype=np.int32)
+    neq = np.empty((n, maxlb), dtype=bool)
     done = la == 0
     out[done] = lb[done]
     for i in range(1, maxla + 1):
-        sub = prev[:, :-1] + (A[:, i - 1 : i] != B)  # substitution/match
-        dele = prev[:, 1:] + 1  # deletion from a
-        m = np.minimum(sub, dele)
-        stacked = np.concatenate(
-            [np.full((n, 1), i, dtype=np.int64), m], axis=1
-        )
-        cur = np.minimum.accumulate(stacked - cols, axis=1) + cols
+        np.not_equal(A[:, i - 1 : i], B, out=neq)
+        np.add(prev[:, :-1], neq, out=cur[:, 1:])
+        np.add(prev[:, 1:], 1, out=tmp)
+        np.minimum(cur[:, 1:], tmp, out=cur[:, 1:])
+        cur[:, 0] = i
+        cur -= cols
+        np.minimum.accumulate(cur, axis=1, out=cur)
+        cur += cols
         at = la == i
         if at.any():
             out[at] = cur[at, lb[at]]
-        prev = cur
+        prev, cur = cur, prev
     return out
 
 
@@ -218,6 +237,17 @@ def fuzzy_block_pairs(
             return _empty(use_lev)
         ia = np.concatenate(pa_idx)
         ib = np.concatenate(pb_idx)
+        if use_lev:
+            # exact prefilter: Levenshtein ≥ |len(a) − len(b)|, so
+            # pairs with a larger length gap can't pass — skip their
+            # DP entirely (pure numpy over the candidate pairs)
+            tlens = np.fromiter(
+                (len(s) for s in texts), dtype=np.int64, count=len(texts)
+            )
+            near = np.abs(tlens[ia] - tlens[ib]) <= max_distance
+            ia, ib = ia[near], ib[near]
+            if ia.size == 0:
+                return _empty(use_lev)
         ta = [texts[i] for i in ia]
         tb = [texts[j] for j in ib]
         if use_lev:
