@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_value_hour_by_type": q.corr_value_hour_by_type,
         # exact integer-binned grouped histogram
         "histogram_event_values": q.histogram_event_values,
+        # multimodal: REAL PNM decode → actor-pool feature extraction
+        # (numpy codec; no SQL oracle — driver rows-only check)
+        "image_features_pnm": q.image_features_pnm,
     }
 
 

@@ -2115,3 +2115,65 @@ def snm_pairs_parts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b", "rank_dist"]).reset_index(
         drop=True
     )
+
+
+def image_features_pnm(sf_dir: str) -> pd.DataFrame:
+    """Multimodal decode → feature extraction over a REAL image format
+    with no native deps: deterministic PPM (P6) payloads are rendered
+    per document (gradient keyed on doc_id), then decoded/resized/
+    featurized by the ImageFeatureExtractor ACTOR POOL running the
+    numpy PNM codec (functions/imagecodec.py) — the dependency-free
+    instantiation of the pillow path (stages/multimodal.py). Returns
+    (media_id, f0, f1) rounded to 6 dp; no SQL oracle (decoded-pixel
+    math), driver records the rows-only check."""
+    from deduper_ray.functions.imagecodec import encode_pnm
+    from deduper_ray.stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        ImageFeatureExtractor,
+    )
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def _render(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_chars = t["n_chars"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i, nc in zip(ids, n_chars):
+            w, h = 8 + int(i) % 5, 6 + int(i) % 3
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)[:, None]
+            r = (x * 255 // max(w - 1, 1)) + np.zeros((h, 1), np.int64)
+            g = (y * 255 // max(h - 1, 1)) + np.zeros((1, w), np.int64)
+            b = np.full((h, w), int(nc) % 256, dtype=np.int64)
+            img = np.stack([r, g, b], axis=2).astype(np.uint8)
+            payloads.append(encode_pnm(img))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+                "mime": pa.array(
+                    ["image/x-portable-pixmap"] * len(payloads)
+                ),
+            }
+        )
+
+    feats = (
+        ds.map_batches(_render, batch_format="pyarrow")
+        .map_batches(
+            ImageFeatureExtractor,
+            fn_constructor_kwargs={"dim": 16, "decoder": "pnm"},
+            batch_format="pyarrow",
+            batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    f = np.stack(feats["feature"].to_numpy())
+    out = pd.DataFrame(
+        {
+            "media_id": feats["media_id"],
+            "f0": np.round(f[:, 0], 6),
+            "f1": np.round(f[:, 1], 6),
+        }
+    )
+    return out.sort_values("media_id").reset_index(drop=True)

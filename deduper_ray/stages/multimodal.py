@@ -2,12 +2,18 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata
 (mime, width/height/duration). The Ray-side plumbing — schema, actor
-pools, batch sizing, output layout — is real and tested;
-``decoder="real"`` is IMPORT-GUARDED: it uses pillow (images) /
-ffmpeg (video) when they are importable and raises NotImplementedError
-with a clear message otherwise (neither is in this container, so the
-real-path tests are skip-marked here and ``decoder="fake"`` — a
-deterministic payload-derived stand-in — covers the plumbing).
+pools, batch sizing, output layout — is real and tested. Three decoder
+tiers:
+
+- ``decoder="pnm"``: a REAL dependency-free decode path — the
+  numpy PNM codec (functions/imagecodec.py, PPM P6 / PGM P5) decodes,
+  resizes and re-encodes actual image payloads; runs and is tested in
+  this container.
+- ``decoder="real"``: IMPORT-GUARDED pillow (images) / ffmpeg (video)
+  for the richer formats; raises NotImplementedError with a clear
+  message when the codec is absent (skip-marked tests here).
+- ``decoder="fake"``: deterministic payload-derived stand-in for
+  plumbing tests with arbitrary bytes.
 
 Scale notes baked into the defaults: media rows are large, so the
 stages use SMALL batch sizes (32) and ``batch_format="pyarrow"``
@@ -76,22 +82,37 @@ class ImageFeatureExtractor:
     def __init__(self, *, dim: int = 64, decoder: str = "fake"):
         self.dim = dim
         self.decoder = decoder
-        if decoder not in ("fake", "real"):
+        if decoder not in ("fake", "real", "pnm"):
             raise ValueError(f"unknown decoder {decoder!r}")
-        if decoder == "real":
-            self._pil = _require_real(_try_import_pil(), "pillow")
+        if decoder in ("real", "pnm"):
             # square thumbnail whose pixel count covers dim
             self._side = int(np.ceil(np.sqrt(dim)))
+        if decoder == "real":
+            self._pil = _require_real(_try_import_pil(), "pillow")
+
+    def _pixel_features(self, px: np.ndarray) -> np.ndarray:
+        px = px.astype(np.float64).reshape(-1)[: self.dim]
+        if px.size < self.dim:
+            px = np.pad(px, (0, self.dim - px.size))
+        norm = np.linalg.norm(px)
+        return px / norm if norm else px
 
     def _features(self, payload: bytes) -> np.ndarray:
         if self.decoder == "real":
             img = self._pil.open(io.BytesIO(payload)).convert("L")
             img = img.resize((self._side, self._side))
-            px = np.asarray(img, dtype=np.float64).reshape(-1)[: self.dim]
-            if px.size < self.dim:
-                px = np.pad(px, (0, self.dim - px.size))
-            norm = np.linalg.norm(px)
-            return px / norm if norm else px
+            return self._pixel_features(np.asarray(img))
+        if self.decoder == "pnm":
+            from deduper_ray.functions.imagecodec import (
+                decode_pnm,
+                resize_nearest,
+                to_gray,
+            )
+
+            px = resize_nearest(
+                to_gray(decode_pnm(payload)), self._side, self._side
+            )
+            return self._pixel_features(px)
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
         rng = np.random.RandomState(seed % (2**32))
         v = rng.standard_normal(self.dim)
@@ -125,22 +146,35 @@ class ImageResizer:
         self.width = width
         self.height = height
         self.decoder = decoder
+        if decoder not in ("fake", "real", "pnm"):
+            raise ValueError(f"unknown decoder {decoder!r}")
         if decoder == "real":
             self._pil = _require_real(_try_import_pil(), "pillow")
 
+    def _resize_payload(self, p: bytes) -> bytes:
+        if self.decoder == "real":
+            img = self._pil.open(io.BytesIO(p))
+            img = img.resize((self.width, self.height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        from deduper_ray.functions.imagecodec import (
+            decode_pnm,
+            encode_pnm,
+            resize_nearest,
+        )
+
+        return encode_pnm(
+            resize_nearest(decode_pnm(p), self.width, self.height)
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        if self.decoder == "real":
+        if self.decoder in ("real", "pnm"):
             payloads = batch["payload"]
             if isinstance(payloads, pa.ChunkedArray):
                 payloads = payloads.combine_chunks()
-            out = []
-            for p in payloads.to_pylist():
-                img = self._pil.open(io.BytesIO(p or b""))
-                img = img.resize((self.width, self.height))
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                out.append(buf.getvalue())
+            out = [self._resize_payload(p or b"") for p in payloads.to_pylist()]
             batch = batch.set_column(
                 batch.column_names.index("payload"),
                 "payload",
