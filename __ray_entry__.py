@@ -128,6 +128,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal: REAL PNM decode → actor-pool feature extraction
         # (numpy codec; no SQL oracle — driver rows-only check)
         "image_features_pnm": q.image_features_pnm,
+        # sequence/window functions: argmax-per-key, cumulative sum,
+        # bounded-frame moving average, grouped mode (round 4)
+        "latest_event_per_user": q.latest_event_per_user,
+        "running_value_per_user": q.running_value_per_user,
+        "moving_avg_value_per_type": q.moving_avg_value_per_type,
+        "mode_event_type_per_user": q.mode_event_type_per_user,
     }
 
 
@@ -1126,5 +1132,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(value * 100) AS BIGINT) // 10000 AS bin,
                    count(*) AS n
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id
+                ) AS rn FROM events
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "running_value_per_user": """
+            SELECT event_id, user_id,
+                   SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) / 100.0 AS running_value
+            FROM events ORDER BY event_id
+        """,
+        "moving_avg_value_per_type": """
+            SELECT event_id, event_type,
+                   (SUM(CAST(round(value * 100) AS BIGINT)) OVER w)::DOUBLE
+                   / (COUNT(*) OVER w) / 100.0 AS moving_avg_value
+            FROM events
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+            )
+            ORDER BY event_id
+        """,
+        "mode_event_type_per_user": """
+            SELECT user_id, event_type, n FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type
+                       ) AS rn
+                FROM events GROUP BY 1, 2
+            ) WHERE rn = 1 ORDER BY user_id
         """,
     }

@@ -2177,3 +2177,114 @@ def image_features_pnm(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+def latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Argmax-per-key window: each user's LATEST event (ORDER BY ts
+    DESC, event_id ASC — deterministic tie-break), via
+    relational.grouped_argmax (bucketed pandas sort+drop_duplicates;
+    Python dispatch per bucket, not per user). SQL: row_number() OVER
+    (PARTITION BY user_id ORDER BY ts DESC, event_id) = 1."""
+    from deduper_ray.stages.relational import grouped_argmax
+
+    ds = _rp(
+        _t(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    out = grouped_argmax(
+        ds, group_cols=["user_id"],
+        order_by=[("ts", False), ("event_id", True)],
+    ).to_pandas()
+    return (
+        out[["user_id", "event_id", "ts", "event_type", "value"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def running_value_per_user(sf_dir: str) -> pd.DataFrame:
+    """Cumulative-sum window function: running total of event value per
+    user ordered by (ts, event_id), computed over exact integer cents
+    (relational.grouped_running_sum — bucketed C-level groupby.cumsum,
+    nothing per-row or per-user in Python)."""
+    from deduper_ray.stages.relational import grouped_running_sum
+
+    ds = _rp(
+        _t(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "value"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "value_c": pa.array(_cents(t["value"]), type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_running_sum(
+        ds, key="user_id", order_cols=["ts", "event_id"],
+        value_col="value_c", out="rc",
+    ).to_pandas()
+    out["running_value"] = out["rc"] / 100.0
+    return (
+        out[["event_id", "user_id", "running_value"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def moving_avg_value_per_type(sf_dir: str) -> pd.DataFrame:
+    """Bounded-frame moving average: 4-event trailing mean of value per
+    event_type ordered by (ts, event_id) — relational.grouped_moving_avg
+    (bucketed pandas rolling over exact cents; the division
+    numerator/denominator match the oracle's bit-for-bit)."""
+    from deduper_ray.stages.relational import grouped_moving_avg
+
+    ds = _rp(
+        _t(sf_dir, "events"),
+        columns=["event_id", "ts", "event_type", "value"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "event_type": t["event_type"],
+                "value_c": pa.array(_cents(t["value"]), type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_moving_avg(
+        ds, key="event_type", order_cols=["ts", "event_id"],
+        value_col="value_c", window=4, out="ma_c",
+    ).to_pandas()
+    out["moving_avg_value"] = out["ma_c"] / 100.0
+    return (
+        out[["event_id", "event_type", "moving_avg_value"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def mode_event_type_per_user(sf_dir: str) -> pd.DataFrame:
+    """Grouped mode with a deterministic tie-break: each user's most
+    frequent event_type (ties → alphabetically first) — pre-aggregated
+    counts (one narrow groupby) + relational.grouped_argmax over
+    (n DESC, event_type ASC). SQL: row_number over count(*)."""
+    from deduper_ray.stages.relational import grouped_argmax
+
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    counts = ds.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="n")
+    )
+    out = grouped_argmax(
+        counts, group_cols=["user_id"],
+        order_by=[("n", False), ("event_type", True)],
+    ).to_pandas()
+    return (
+        out[["user_id", "event_type", "n"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )

@@ -767,6 +767,144 @@ def token_heavy_hitters_mg(
     return out.take(order.slice(0, k))
 
 
+def _group_buckets(
+    t: pa.Table, group_cols: list[str], num_partitions: int
+) -> pa.Table:
+    """Append a ``_bucket`` column = fingerprint of the group key(s) mod
+    partitions — every group lands wholly in one bucket."""
+    from deduper_ray.functions.hashing import fingerprint64
+
+    key = None
+    for c in group_cols:
+        col = t[c]
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(
+            col.type
+        ):
+            col = pc.cast(col, pa.string())
+        col = pc.fill_null(col, "\x00null\x00")
+        key = col if key is None else pc.binary_join_element_wise(
+            key, col, "\x1f"
+        )
+    fp = np.asarray(fingerprint64(key))
+    bucket = (fp % np.uint64(num_partitions)).astype(np.int64)
+    return t.append_column("_bucket", pa.array(bucket))
+
+
+def _auto_partitions(num_partitions: int | None) -> int:
+    if num_partitions is not None:
+        return num_partitions
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(4, min(128, cpus * 2))
+
+
+def grouped_argmax(
+    ds: rd.Dataset,
+    *,
+    group_cols: list[str],
+    order_by: list[tuple[str, bool]],
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """One row per group: the FIRST row under the ``order_by`` spec
+    [(col, ascending), ...] — SQL ``row_number() OVER (PARTITION BY
+    group ORDER BY ...) = 1``, i.e. argmax/argmin/latest-per-key.
+
+    Scale shape: rows hash-bucket on the group fingerprint (each group
+    wholly in one bucket), ONE C-level pandas sort + drop_duplicates
+    per bucket — Python dispatch count is #buckets, not #groups.
+    Generalizes dedupe_keep_best's wide path to arbitrary multi-column
+    order specs (string tie-breakers included)."""
+    nparts = _auto_partitions(num_partitions)
+    cols = [c for c, _ in order_by]
+    asc = [a for _, a in order_by]
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(list(group_cols) + cols, ascending=[True] * len(group_cols) + asc)
+        return df.drop_duplicates(subset=group_cols, keep="first").drop(
+            columns=["_bucket"]
+        )
+
+    return (
+        ds.map_batches(
+            lambda t: _group_buckets(t, group_cols, nparts),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(_best, batch_format="pandas")
+    )
+
+
+def grouped_running_sum(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "running_sum",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """``SUM(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` — the cumulative-sequence window function.
+
+    Bucketed on the key fingerprint; per bucket one pandas sort +
+    C-level ``groupby(key).cumsum()``. Pass an INT value column for
+    exact cross-engine equality (the _cents protocol)."""
+    nparts = _auto_partitions(num_partitions)
+
+    def _cum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols)
+        df[out] = df.groupby(key, sort=False)[value_col].cumsum()
+        return df.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(
+            lambda t: _group_buckets(t, [key], nparts),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(_cum, batch_format="pandas")
+    )
+
+
+def grouped_moving_avg(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out: str = "moving_avg",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """``AVG(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — the bounded-frame
+    moving average. Bucketed like grouped_running_sum; the frame is a
+    C-level pandas ``groupby.rolling(window, min_periods=1).mean()``.
+
+    For exact cross-engine equality feed an INT value column and
+    divide by the SAME frame counts on both sides (the mean of k ints
+    is one float division — bit-equal when numerator/denominator
+    match)."""
+    nparts = _auto_partitions(num_partitions)
+
+    def _mov(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols)
+        g = df.groupby(key, sort=False)[value_col]
+        s = g.rolling(window, min_periods=1).sum().reset_index(drop=True)
+        n = g.rolling(window, min_periods=1).count().reset_index(drop=True)
+        df = df.reset_index(drop=True)
+        df[out] = s.to_numpy() / n.to_numpy()
+        return df.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(
+            lambda t: _group_buckets(t, [key], nparts),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(_mov, batch_format="pandas")
+    )
+
+
 def grouped_row_number(
     ds: rd.Dataset,
     *,
