@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_value_per_user": q.running_value_per_user,
         "moving_avg_value_per_type": q.moving_avg_value_per_type,
         "mode_event_type_per_user": q.mode_event_type_per_user,
+        # corpus-wide exact substring overlap (winnowing anchors)
+        "substring_overlap_docs": q.substring_overlap_docs,
     }
 
 
@@ -1168,5 +1170,17 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events GROUP BY 1, 2
             ) WHERE rn = 1 ORDER BY user_id
+        """,
+        # docs are ASCII, so byte grams == char substrings (the
+        # ngram_jaccard oracle convention)
+        "substring_overlap_docs": """
+            WITH g AS (
+                SELECT doc_id, substr(text, CAST(i AS INT), 32) AS gram
+                FROM documents, UNNEST(range(1, length(text) - 30)) AS t(i)
+                WHERE length(text) >= 32
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            ORDER BY 1, 2
         """,
     }

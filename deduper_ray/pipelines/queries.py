@@ -2288,3 +2288,23 @@ def mode_event_type_per_user(sf_dir: str) -> pd.DataFrame:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+def substring_overlap_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide exact substring overlap: every doc pair sharing an
+    exact 32-byte substring (stages/overlap.py — winnowing anchor
+    fingerprints, window=1 = exact; the anchors reuse the LSH sort +
+    run-scan + fragment-stitch machinery). The SQL oracle rebuilds the
+    same pairs from a 32-char gram self-join (ASCII: bytes == chars)."""
+    from deduper_ray.stages.overlap import substring_overlap_pairs
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs, _dropped = substring_overlap_pairs(
+        ds, min_len=32, window=1, id_column="doc_id"
+    )
+    out = pairs.to_pandas().drop_duplicates()
+    return (
+        out[["id_a", "id_b"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
