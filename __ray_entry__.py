@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type_per_user": q.mode_event_type_per_user,
         # corpus-wide exact substring overlap (winnowing anchors)
         "substring_overlap_docs": q.substring_overlap_docs,
+        # cross-table anti-join + exact grouped variance
+        "customers_no_urgent_order": q.customers_no_urgent_order,
+        "value_stats_by_type": q.value_stats_by_type,
     }
 
 
@@ -1182,5 +1185,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
             ORDER BY 1, 2
+        """,
+        "customers_no_urgent_order": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            ORDER BY c_custkey
+        """,
+        "value_stats_by_type": """
+            WITH s AS (
+                SELECT event_type, count(*) AS n,
+                       sum(CAST(round(value*100) AS BIGINT)) AS sc,
+                       sum(CAST(round(value*100) AS BIGINT)
+                           * CAST(round(value*100) AS BIGINT)) AS scc
+                FROM events GROUP BY 1
+            )
+            SELECT event_type, n,
+                   round(sc::DOUBLE / n::DOUBLE / 100.0, 6) AS mean_value,
+                   round((n::DOUBLE * scc::DOUBLE - sc::DOUBLE * sc::DOUBLE)
+                         / (n::DOUBLE * (n::DOUBLE - 1.0)) / 10000.0, 6)
+                       AS var_value,
+                   round(sqrt((n::DOUBLE * scc::DOUBLE - sc::DOUBLE * sc::DOUBLE)
+                              / (n::DOUBLE * (n::DOUBLE - 1.0)) / 10000.0), 6)
+                       AS std_value
+            FROM s ORDER BY event_type
         """,
     }

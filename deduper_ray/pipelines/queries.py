@@ -2308,3 +2308,88 @@ def substring_overlap_docs(sf_dir: str) -> pd.DataFrame:
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
+
+
+def customers_no_urgent_order(sf_dir: str) -> pd.DataFrame:
+    """Cross-table ANTI-join: customers who never placed a 1-URGENT
+    order (NOT EXISTS). The orders side is filtered at the read and
+    projected to DISTINCT o_custkey (a narrow distinct, bounded by
+    customer cardinality), broadcast as a sorted int array; the
+    customer side anti-filters vectorized — the broadcast-anti-semi-
+    join shape (SCALE.md small-side rule). For a corpus-scale right
+    side, co-partition both on the key instead."""
+    orders = _rp(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    keys: list[np.ndarray] = []
+    for b in distinct(orders, ["o_custkey"]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        keys.append(b["o_custkey"].to_numpy(zero_copy_only=False))
+    have = np.sort(np.concatenate(keys)) if keys else np.empty(0, np.int64)
+    have_ref = ray.put(have)
+
+    def _anti(t: pa.Table) -> pa.Table:
+        h = ray.get(have_ref)
+        if h.size == 0:
+            return t
+        ids = t["c_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(h, ids), h.size - 1)
+        return t.filter(pa.array(h[pos] != ids))
+
+    cust = _rp(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    out = cust.map_batches(_anti, batch_format="pyarrow").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def value_stats_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped mean + sample variance + stddev over exact integer
+    cents: one narrow groupby of (n, Σc, Σc²) partials, then identical
+    float expressions on both sides (the corr_value_hour protocol —
+    int sums are order-independent, so the IEEE results match the
+    oracle bit-for-bit before the final 6 dp round)."""
+    ds = _rp(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"])
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "c": pa.array(c, type=pa.int64()),
+                "cc": pa.array(c * c, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("c", alias_name="sc"),
+            Sum("cc", alias_name="scc"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].astype(np.float64)
+    sc = agg["sc"].astype(np.float64)
+    scc = agg["scc"].astype(np.float64)
+    mean = sc / n / 100.0
+    var = (n * scc - sc * sc) / (n * (n - 1.0)) / 10000.0
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype(np.int64),
+            "mean_value": np.round(mean, 6),
+            "var_value": np.round(var, 6),
+            "std_value": np.round(np.sqrt(var), 6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
