@@ -9,13 +9,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __ray_entry__ as entrymod  # noqa: E402
 
 
+# queries whose result is not SQL-expressible (the driver records a
+# rows-only check for these — keep the list EXPLICIT so a forgotten
+# oracle still fails this test)
+ROWS_ONLY = {"image_features_pnm"}  # decoded-pixel math
+
+
 def test_every_query_has_an_oracle():
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
-    assert set(qs) == set(osql), (
-        set(qs) ^ set(osql)
+    assert set(qs) - ROWS_ONLY == set(osql), (
+        (set(qs) - ROWS_ONLY) ^ set(osql)
     )
-    assert len(qs) >= 66
+    assert len(qs) >= 75
 
 
 def test_oracle_sql_mentions_only_registered_tables():
