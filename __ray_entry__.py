@@ -139,6 +139,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-table anti-join + exact grouped variance
         "customers_no_urgent_order": q.customers_no_urgent_order,
         "value_stats_by_type": q.value_stats_by_type,
+        # training-export planning: deterministic global shuffle rank
+        # + token-budget shard assignment (distributed keyless scan)
+        "deterministic_shuffle_docs": q.deterministic_shuffle_docs,
+        "token_shard_assignment": q.token_shard_assignment,
     }
 
 
@@ -1212,5 +1216,27 @@ def oracle_sql() -> dict[str, str]:
                               / (n::DOUBLE * (n::DOUBLE - 1.0)) / 10000.0), 6)
                        AS std_value
             FROM s ORDER BY event_type
+        """,
+        # uppercase-vs-lowercase hex orders identically (hex digits map
+        # monotonically), so ranks match md5_hex_array's UPPER output
+        "deterministic_shuffle_docs": """
+            SELECT row_number() OVER (
+                       ORDER BY md5(doc_id::VARCHAR || '|shuffle-salt-1')
+                   ) AS shuffle_rank,
+                   doc_id
+            FROM documents ORDER BY shuffle_rank
+        """,
+        "token_shard_assignment": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   ((SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT - n_tokens)
+                    // 10000)::BIGINT AS shard
+            FROM t ORDER BY doc_id
         """,
     }

@@ -2393,3 +2393,80 @@ def value_stats_by_type(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def deterministic_shuffle_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic global shuffle for training-data export: rank
+    every doc by md5(doc_id || salt) — a reproducible pseudo-random
+    permutation computed with ONE narrow sort (the hash is the sort
+    key, so the order is independent of partitioning/parallelism).
+    Returns (shuffle_rank, doc_id)."""
+    from deduper_ray.functions.hashing import md5_hex_array
+    from deduper_ray.stages.relational import global_running_sum
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "_h": md5_hex_array(
+                    pc.binary_join_element_wise(
+                        pc.cast(t["doc_id"], pa.string()),
+                        "shuffle-salt-1",
+                        "|",
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # rank = global running COUNT ordered by the (unique) hash —
+    # the distributed keyless scan: one sort + O(blocks) driver
+    # metadata, ranks assigned per block from broadcast offsets
+    withone = ds.map_batches(
+        lambda t: t.append_column(
+            "_one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    ranked = global_running_sum(
+        withone, order_col="_h", value_col="_one", out="shuffle_rank"
+    )
+    df = ranked.to_pandas()
+    return (
+        df[["shuffle_rank", "doc_id"]]
+        .sort_values("shuffle_rank")
+        .reset_index(drop=True)
+    )
+
+
+def token_shard_assignment(sf_dir: str) -> pd.DataFrame:
+    """Training-shard planning: assign docs (in doc_id order) to
+    fixed-token-budget shards — shard = (running_token_sum − n_tokens)
+    // budget, computed with the DISTRIBUTED global scan
+    (relational.global_running_sum: one sort + per-block offsets, the
+    driver holds one row per BLOCK). SQL: the same window expression."""
+    from deduper_ray.functions.text import add_token_count
+    from deduper_ray.stages.relational import global_running_sum
+
+    budget = 10_000
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        lambda t: add_token_count(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    scanned = global_running_sum(
+        ds, order_col="doc_id", value_col="n_tokens", out="rt"
+    )
+
+    def _shard(t: pa.Table) -> pa.Table:
+        rt = t["rt"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "shard": pa.array((rt - n) // budget, type=pa.int64()),
+            }
+        )
+
+    out = scanned.map_batches(_shard, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -905,6 +905,82 @@ def grouped_moving_avg(
     )
 
 
+def global_running_sum(
+    ds: rd.Dataset,
+    *,
+    order_col: str,
+    value_col: str,
+    out: str = "running_sum",
+) -> rd.Dataset:
+    """``SUM(value) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING)``
+    — the GLOBAL (keyless) distributed scan, the primitive behind
+    token-budget shard assignment and offset planning.
+
+    Two passes, no data rows on the driver: sort by ``order_col``, then
+    (1) per sorted block emit ONE metadata row (block min order, block
+    sum); the driver orders these and prefix-sums → per-block starting
+    offsets, broadcast via ``ray.put`` keyed by block min order;
+    (2) per block, running = offset + vectorized cumsum. Driver holds
+    one row PER BLOCK — O(blocks), never O(rows).
+
+    Requires ``order_col`` values globally unique (a total order —
+    same contract as grouped_row_number's runscan backend; raises on
+    block-min collisions, which unique orders make impossible). The
+    order column may be int or string (e.g. an md5 shuffle key).
+    """
+    import bisect
+
+    sorted_ds = ds.sort(order_col).materialize()
+
+    def _meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "mo": pa.array([], type=t[order_col].type),
+                    "s": pa.array([], type=pa.int64()),
+                }
+            )
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        # block is sorted by order_col → min is the first element
+        return pa.table(
+            {
+                "mo": t[order_col].slice(0, 1),
+                "s": pa.array([int(v.sum())], type=pa.int64()),
+            }
+        )
+
+    meta = sorted_ds.map_batches(
+        _meta, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    meta = meta.sort_values("mo").reset_index(drop=True)
+    if meta["mo"].duplicated().any():
+        raise ValueError(
+            "global_running_sum: duplicate block-min order values — "
+            f"{order_col!r} must be globally unique"
+        )
+    offsets = np.concatenate(([0], meta["s"].cumsum().to_numpy()[:-1]))
+    off_ref = ray.put(
+        {
+            "mins": meta["mo"].tolist(),
+            "offs": offsets.astype(np.int64),
+        }
+    )
+
+    def _scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out, pa.array([], type=pa.int64()))
+        m = _fetch_broadcast(off_ref)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        # this block is one sorted run; locate its offset by block min
+        i = bisect.bisect_left(m["mins"], t[order_col][0].as_py())
+        run = np.cumsum(v, dtype=np.int64) + np.int64(m["offs"][i])
+        return t.append_column(out, pa.array(run, type=pa.int64()))
+
+    return sorted_ds.map_batches(
+        _scan, batch_format="pyarrow", batch_size=None
+    )
+
+
 def grouped_row_number(
     ds: rd.Dataset,
     *,

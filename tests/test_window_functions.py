@@ -104,3 +104,38 @@ def test_grouped_moving_avg_matches_pandas(events_df):
     exp["ma"] = (r.sum().to_numpy() / r.count().to_numpy())
     exp = exp.sort_values("eid").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+@pytest.mark.parametrize("parts", [1, 9])
+def test_global_running_sum_matches_pandas(events_df, parts):
+    from deduper_ray.stages.relational import global_running_sum
+
+    ds = rd.from_pandas(events_df).repartition(parts)
+    got = (
+        global_running_sum(ds, order_col="eid", value_col="v", out="rs")
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    exp = events_df.sort_values("eid").copy()
+    exp["rs"] = exp["v"].cumsum()
+    exp = exp.reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_global_running_sum_string_order():
+    from deduper_ray.stages.relational import global_running_sum
+
+    df = pd.DataFrame(
+        {"k": [f"h{i:03d}" for i in [5, 2, 9, 0, 7]], "v": [1] * 5}
+    )
+    got = (
+        global_running_sum(
+            rd.from_pandas(df).repartition(3),
+            order_col="k", value_col="v", out="rank",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["rank"].tolist() == [1, 2, 3, 4, 5]
