@@ -132,6 +132,11 @@ def dedupe(cfg: DedupeConfig, *, materialize: bool = True) -> DedupeReport:
                 f"{cfg.execution_timeout_sec} before stage {stage!r}"
             )
 
+    if cfg.dupes_detail not in ("full", "summary", "distributed"):
+        raise ValueError(
+            f"unknown dupes_detail {cfg.dupes_detail!r}; expected "
+            "'full', 'summary' or 'distributed'"
+        )
     if (
         cfg.dupes_detail in ("summary", "distributed")
         and cfg.hashes_path
