@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal: REAL PNM decode → actor-pool feature extraction
         # (numpy codec; no SQL oracle — driver rows-only check)
         "image_features_pnm": q.image_features_pnm,
+        "audio_features_wav": q.audio_features_wav,
         # sequence/window functions: argmax-per-key, cumulative sum,
         # bounded-frame moving average, grouped mode (round 4)
         "latest_event_per_user": q.latest_event_per_user,

@@ -2470,3 +2470,55 @@ def token_shard_assignment(sf_dir: str) -> pd.DataFrame:
 
     out = scanned.map_batches(_shard, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def audio_features_wav(sf_dir: str) -> pd.DataFrame:
+    """Multimodal audio decode → feature extraction over a REAL
+    container with no native deps: deterministic PCM16 WAV payloads are
+    synthesized per document (sine keyed on doc_id), then decoded and
+    featurized by the AudioFeatureExtractor ACTOR POOL running the
+    numpy RIFF/PCM codec (functions/audiocodec.py). Returns
+    (media_id, rms0, zcr0) rounded to 6 dp; no SQL oracle (decoded
+    sample math) — driver records the rows-only check."""
+    from deduper_ray.functions.audiocodec import encode_wav
+    from deduper_ray.stages.multimodal import AudioFeatureExtractor
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def _render(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            freq = 100.0 + (int(i) % 40) * 10.0
+            n = 800 + (int(i) % 7) * 100
+            ts = np.arange(n, dtype=np.float64) / 8000.0
+            mono = (np.sin(2 * np.pi * freq * ts) * 20000).astype(np.int16)
+            payloads.append(encode_wav(mono[:, None], 8000))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "mime": pa.array(["audio/wav"] * len(payloads)),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    feats = (
+        ds.map_batches(_render, batch_format="pyarrow")
+        .map_batches(
+            AudioFeatureExtractor,
+            fn_constructor_kwargs={"num_frames": 8, "decoder": "wav"},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    f = np.stack(feats["feature"].to_numpy())
+    out = pd.DataFrame(
+        {
+            "media_id": feats["media_id"],
+            "rms0": np.round(f[:, 0].astype(np.float64), 6),
+            "zcr0": np.round(f[:, 1].astype(np.float64), 6),
+        }
+    )
+    return out.sort_values("media_id").reset_index(drop=True)

@@ -136,6 +136,56 @@ class ImageFeatureExtractor:
         )
 
 
+class AudioFeatureExtractor:
+    """Actor-pool stage: audio payload → flattened per-frame
+    (RMS, zero-crossing-rate) feature vector of length
+    ``num_frames * 2``.
+
+    ``decoder="wav"``: REAL dependency-free RIFF/PCM decode
+    (functions/audiocodec.py) — runs and is tested in this container.
+    ``decoder="fake"``: sha256-seeded stand-in for arbitrary bytes.
+    """
+
+    def __init__(self, *, num_frames: int = 16, decoder: str = "fake"):
+        self.num_frames = num_frames
+        self.decoder = decoder
+        if decoder not in ("fake", "wav"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        if self.decoder == "wav":
+            from deduper_ray.functions.audiocodec import (
+                decode_wav,
+                frame_features,
+            )
+
+            samples, _rate = decode_wav(payload)
+            return frame_features(
+                samples, num_frames=self.num_frames
+            ).reshape(-1)
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+        rng = np.random.RandomState(seed % (2**32))
+        return rng.standard_normal(self.num_frames * 2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        feats = np.stack(
+            [self._features(p.as_py() or b"") for p in payloads]
+        ).astype(np.float32)
+        dim = self.num_frames * 2
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "mime": batch["mime"],
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), type=pa.float32()), dim
+                ),
+            }
+        )
+
+
 class ImageResizer:
     """Actor-pool stage: resize — emits updated metadata and the
     transformed payload. Fake mode passes payload through and rewrites

@@ -12,7 +12,10 @@ import __ray_entry__ as entrymod  # noqa: E402
 # queries whose result is not SQL-expressible (the driver records a
 # rows-only check for these — keep the list EXPLICIT so a forgotten
 # oracle still fails this test)
-ROWS_ONLY = {"image_features_pnm"}  # decoded-pixel math
+ROWS_ONLY = {
+    "image_features_pnm",  # decoded-pixel math
+    "audio_features_wav",  # decoded-sample math
+}
 
 
 def test_every_query_has_an_oracle():
