@@ -69,6 +69,7 @@ def test_audio_feature_extractor_wav_actor_pool():
     )
     out = (
         rd.from_arrow(t)
+        .repartition(4)
         .map_batches(
             AudioFeatureExtractor,
             fn_constructor_kwargs={"num_frames": 8, "decoder": "wav"},

@@ -80,7 +80,7 @@ def test_image_feature_extractor_pnm_actor_pool():
         ImageFeatureExtractor,
     )
 
-    ds = rd.from_arrow(_pnm_media_table(40))
+    ds = rd.from_arrow(_pnm_media_table(40)).repartition(4)
     out = ds.map_batches(
         ImageFeatureExtractor,
         fn_constructor_kwargs={"dim": 16, "decoder": "pnm"},
@@ -109,7 +109,7 @@ def test_image_feature_extractor_pnm_actor_pool():
 def test_image_resizer_pnm_actor_pool():
     from deduper_ray.stages.multimodal import ImageResizer
 
-    ds = rd.from_arrow(_pnm_media_table(12))
+    ds = rd.from_arrow(_pnm_media_table(12)).repartition(4)
     out = ds.map_batches(
         ImageResizer,
         fn_constructor_kwargs={"width": 5, "height": 4, "decoder": "pnm"},
