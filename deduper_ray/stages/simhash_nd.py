@@ -363,8 +363,14 @@ def simhash_neardup(
             }
         )
 
-    narrow_in = ds.map_batches(_to_narrow, batch_format="pyarrow")
-    reps = _collapse_sims(narrow_in)
+    # narrow_in and reps are each consumed TWICE (collapse + the final
+    # expansion; rep points + the expansion map). Materialize the
+    # 16 B/row projections ONCE so a lazy expensive upstream (e.g. the
+    # MinHash/SimHash signer over raw content) never re-executes —
+    # unmaterialized, the 1M-doc bench re-ran the 18 s signer twice
+    # (53-62 s total vs 35 s materialized).
+    narrow_in = ds.map_batches(_to_narrow, batch_format="pyarrow").materialize()
+    reps = _collapse_sims(narrow_in).materialize()
     rep_pts = reps.map_batches(
         lambda t: pa.table({"id": t["rep_id"], "sim": t["sim"]}),
         batch_format="pyarrow",
