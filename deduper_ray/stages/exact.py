@@ -728,6 +728,12 @@ def dedupe_keep_best(
     Group identity for the narrow path is md5 of the group value's
     string form (nulls → a sentinel; distinct groups collide with
     probability ~2^-128, i.e. never).
+
+    NOTE: ``ds`` is consumed TWICE on the narrow path (keeper election
+    + anti-filter). A plain read re-executes cheaply; if ``ds`` ends in
+    an expensive lazy transform, checkpoint/materialize it first —
+    deliberately NOT done here, since pinning the full wide corpus in
+    the object store is usually worse than re-reading it.
     """
     drops_arr: np.ndarray | None = None
     if strategy in ("auto", "narrow"):
