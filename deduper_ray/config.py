@@ -151,11 +151,19 @@ class NearDupConfig:
     # verified-edge count above which "auto" routes clustering to the
     # distributed labelprop backend (mirrors LATE_DEDUP_THRESHOLD)
     cluster_edge_budget: int = 5_000_000
-    # "broadcast": scoring workers hold the signature store (default);
-    # "copartition": no-broadcast hash-partitioned join verification —
-    # for corpora whose store exceeds worker heap (bit-identical scores,
-    # equivalence-tested)
-    verify_backend: str = "broadcast"
+    # "auto" (default): broadcast while the estimated signature-store
+    # bytes (n_docs × (num_perms·4 + 24), the actual uint32-sig store
+    # layout in stages/verify.py) fit verify_store_budget_bytes,
+    # copartition above it — the default config never builds an
+    # O(corpus) object-store-resident store;
+    # "broadcast": force scoring workers to hold the signature store;
+    # "copartition": force the no-broadcast hash-partitioned join
+    # verification (bit-identical scores, equivalence-tested)
+    verify_backend: str = "auto"
+    # estimated store bytes above which "auto" routes verification to
+    # copartition (mirrors cluster_edge_budget). 2 GiB ≈ 4M docs at
+    # K=128 — well under a worker heap, well past the bench corpora.
+    verify_store_budget_bytes: int = 2 << 30
     # "signature": pairs scored by MinHash-estimated Jaccard (default —
     # no content re-read, O(K) per pair);
     # "exact": pairs re-scored with the TRUE k-shingle Jaccard

@@ -108,7 +108,7 @@ def _run_neardup(
 ) -> NearDupResult:
     t_start = time.time()
     stage_sec: dict[str, float] = {}
-    counters: dict[str, int] = {}
+    counters: dict = {}
     os.makedirs(out_dir, exist_ok=True)
     chash = config_hash(asdict(cfg))
     skipped: list[str] = []
@@ -168,6 +168,29 @@ def _run_neardup(
     n_docs = signatures.count()
     t_mark = time.time()
 
+    # resolve "auto" verify routing on the ACTUAL store footprint
+    # (stages/verify.py layout: uint32 sigs = K·4 B/doc, plus
+    # ids/simhash/n_shingles int64/uint64 = 24 B/doc) — same shape as
+    # cluster_backend="auto"/cluster_edge_budget. Broadcast is the
+    # cheap path (no extra shuffle) while the store fits the budget;
+    # copartition above it so the default config never materializes an
+    # O(corpus) signature store in the object store.
+    verify_backend = cfg.verify_backend
+    if verify_backend == "auto":
+        est_store_bytes = n_docs * (cfg.num_perms * 4 + 24)
+        verify_backend = (
+            "copartition"
+            if est_store_bytes > cfg.verify_store_budget_bytes
+            else "broadcast"
+        )
+        counters["verify_store_est_bytes"] = est_store_bytes
+    elif verify_backend not in ("broadcast", "copartition"):
+        raise ValueError(
+            f"verify_backend must be 'auto', 'broadcast' or 'copartition', "
+            f"got {cfg.verify_backend!r}"
+        )
+    counters["verify_backend_resolved"] = verify_backend
+
     # ---- stage 2: LSH candidates + verification ---------------------
     pairs_dir = os.path.join(out_dir, "pairs")
     if resume and stage_is_complete(pairs_dir, chash):
@@ -178,7 +201,7 @@ def _run_neardup(
         from deduper_ray.stages.lsh import collect_candidate_pairs
 
         store_builder = None
-        if cfg.verify_mode != "exact" and cfg.verify_backend != "copartition":
+        if cfg.verify_mode != "exact" and verify_backend != "copartition":
             # start the broadcast-store assembly NOW (driver background
             # thread): it depends only on signatures, so its serial
             # cost hides behind the candidate stage's cluster work
@@ -267,7 +290,7 @@ def _run_neardup(
                 id_column=cfg.id_column,
                 use_token_shingles=cfg.use_token_shingles,
             )
-        elif cfg.verify_backend == "copartition":
+        elif verify_backend == "copartition":
             from deduper_ray.stages.verify import verify_pairs_copartitioned
 
             scored = verify_pairs_copartitioned(

@@ -7,7 +7,10 @@ expressed as plain groupby aggregates on computed window-start keys:
 - tumbling: one window key per row (integer division on epoch)
 - sliding:  explode each row into size/step window memberships, then
             the same groupby (narrow rows: key + value only)
-- session:  per-key map_groups over ts-sorted events with a gap rule
+- session:  hash-bucket by key fingerprint, one vectorized pandas
+            pass per bucket (key-change|gap mask + cumsum) — Python
+            dispatch count is #buckets, not #distinct-keys; formerly
+            per-key map_groups over ts-sorted events with a gap rule
             (per-group pandas; keys partition the shuffle)
 
 All window results are ANSI-SQL-expressible (GROUP BY key,
@@ -185,19 +188,36 @@ def session_windows(
     key: str = "user_id",
     ts_column: str = "ts",
     gap_sec: int = 1800,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Gap-based sessionization: per key, a new session starts when the
     inter-event gap exceeds ``gap_sec``. Emits (key, session_start,
-    session_end, n_events). Per-group pandas over the keyed shuffle —
-    group cardinality = distinct keys, rows per group stay modest."""
+    session_end, n_events).
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_column)
-        ts = g[ts_column].astype("int64") // 1_000_000  # epoch sec
-        breaks = (ts.diff() > gap_sec).cumsum()
-        out = (
-            pd.DataFrame({key: g[key].values, "sess": breaks.values, "ts": ts.values})
-            .groupby([key, "sess"])
+    Bucket backend (the grouped_row_number pattern,
+    stages/relational.py): rows hash-bucket by the key fingerprint
+    (every key wholly in one bucket), then ONE pandas pass per bucket
+    sessionizes all its keys at once — sort by (key, ts), a new-session
+    mask of key-change OR gap>gap_sec, cumsum for session ids, one
+    C-level groupby-agg. Python dispatch count is #buckets, not #keys:
+    a ``groupby(key).map_groups`` pays a Python/pandas call per
+    distinct key — millions of users ⇒ millions of interpreter
+    dispatches."""
+    from deduper_ray.stages.relational import _auto_partitions, _group_buckets
+
+    nparts = _auto_partitions(num_partitions)
+
+    def _sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_column])
+        k = df[key].to_numpy()
+        ts = (df[ts_column].astype("int64") // 1_000_000).to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new[1:] = (k[1:] != k[:-1]) | ((ts[1:] - ts[:-1]) > gap_sec)
+        sess = np.cumsum(new)  # globally unique per (key, session) run
+        return (
+            pd.DataFrame({key: k, "sess": sess, "ts": ts})
+            .groupby([key, "sess"], sort=True)
             .agg(
                 session_start=("ts", "min"),
                 session_end=("ts", "max"),
@@ -206,6 +226,12 @@ def session_windows(
             .reset_index()
             .drop(columns=["sess"])
         )
-        return out
 
-    return events.groupby(key).map_groups(_sessions, batch_format="pandas")
+    return (
+        events.map_batches(
+            lambda t: _group_buckets(t, [key], nparts),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(_sessions, batch_format="pandas")
+    )

@@ -84,3 +84,48 @@ def test_late_dedup_path_matches_collect(tmp_path, monkeypatch):
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(p1, p2)
+
+
+def test_verify_auto_routes_on_store_budget(corpus, tmp_path_factory):
+    """The DEFAULT verify_backend='auto' must route on the estimated
+    signature-store footprint: an over-budget store goes copartition
+    (no O(corpus) broadcast), an in-budget store goes broadcast —
+    with identical pairs + clusters either way."""
+    from deduper_ray.pipelines.neardup import run_neardup
+
+    def _run(**overrides):
+        cfg = NearDupConfig(
+            shingle_k=8, num_perms=128, bands=21, threshold=0.65,
+            **overrides,
+        )
+        out = str(tmp_path_factory.mktemp("auto"))
+        return run_neardup(corpus, out, cfg, resume=False)
+
+    lo = _run(verify_store_budget_bytes=0)
+    assert lo.counters["verify_backend_resolved"] == "copartition"
+    hi = _run(verify_store_budget_bytes=1 << 40)
+    assert hi.counters["verify_backend_resolved"] == "broadcast"
+    # the estimate uses the real store layout: K·4 + 24 bytes per doc
+    assert hi.counters["verify_store_est_bytes"] == N * (128 * 4 + 24)
+
+    def _pairs(r):
+        return sorted(
+            map(tuple, r.pairs().to_pandas()[["id_a", "id_b"]].values)
+        )
+
+    assert _pairs(lo) == _pairs(hi)
+    lo_cl = lo.clusters().to_pandas().sort_values("row_id")
+    hi_cl = hi.clusters().to_pandas().sort_values("row_id")
+    assert dict(zip(lo_cl["row_id"], lo_cl["cluster_id"])) == dict(
+        zip(hi_cl["row_id"], hi_cl["cluster_id"])
+    )
+
+
+def test_verify_backend_typo_raises(corpus, tmp_path_factory):
+    from deduper_ray.pipelines.neardup import run_neardup
+
+    cfg = NearDupConfig(verify_backend="brodcast")
+    with pytest.raises(ValueError, match="verify_backend"):
+        run_neardup(
+            corpus, str(tmp_path_factory.mktemp("bad")), cfg, resume=False
+        )

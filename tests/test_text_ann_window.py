@@ -360,3 +360,49 @@ def test_ivf_index_persisted_matches_inline(tmp_path):
     cols = ["query_id", "neighbor_id"]
     assert bf[cols].values.tolist() == full[cols].values.tolist()
     assert np.allclose(bf["score"], full["score"], atol=1e-12)
+
+
+def test_session_windows_bucketed_many_keys():
+    """10^5 distinct keys, bucket backend: output matches a pandas
+    oracle, and the per-bucket dispatch invariant holds — map_groups
+    invokes the session fn once per distinct ``_bucket`` value, and
+    _group_buckets assigns ≤ num_partitions distinct buckets, so
+    #Python-dispatches = #buckets (16 here), not #keys (10^5)."""
+    import numpy as np
+
+    from deduper_ray.stages.relational import _group_buckets
+
+    n_keys = 100_000
+    rng = np.random.default_rng(7)
+    keys = np.repeat(np.arange(n_keys, dtype=np.int64), 2)
+    # per key: two events either within the gap (one session) or
+    # beyond it (two sessions)
+    gaps = rng.integers(1, 4000, size=n_keys)
+    ts = np.zeros(2 * n_keys, dtype=np.int64)
+    ts[1::2] = gaps * 1_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array(keys),
+            "ts": pc.cast(pa.array(ts), pa.timestamp("us")),
+        }
+    )
+    # dispatch invariant: every row's bucket id < nparts → map_groups
+    # fires at most nparts session-fn calls for the whole table
+    tagged = _group_buckets(t, ["user_id"], 16)
+    n_buckets = len(pc.unique(tagged["_bucket"]))
+    assert n_buckets <= 16
+    out = (
+        session_windows(
+            rd.from_arrow(t), key="user_id", gap_sec=1800, num_partitions=16
+        )
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    split = gaps > 1800
+    assert len(out) == n_keys + split.sum()
+    per_key = out.groupby("user_id").size()
+    assert (per_key.loc[np.flatnonzero(split)] == 2).all()
+    assert (per_key.loc[np.flatnonzero(~split)] == 1).all()
+    one = out[out["user_id"] == 0]
+    assert one["n_events"].sum() == 2
