@@ -34,6 +34,43 @@ BENCH_NDOCS = int(os.environ.get("BENCH_NDOCS", "100000"))
 BENCH_RUNS = max(1, int(os.environ.get("BENCH_RUNS", "3")))
 
 
+def _cpu_counters() -> list[int] | None:
+    """Aggregate jiffy counters from /proc/stat (user nice system idle
+    iowait irq softirq steal ...); None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return None
+
+
+def _cpu_pcts(a: list[int] | None, b: list[int] | None) -> dict:
+    """Steal/idle/busy percentages over a [a, b] counter window — the
+    self-labeling that makes a stolen-window bench run adjudicable
+    from the JSON alone (VERDICT r4 next-item #8): a leg whose wall
+    inflates while cpu_steal_pct or external busy load is high is
+    contention, not regression."""
+    if a is None or b is None:
+        return {}
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    idle = d[3] + (d[4] if len(d) > 4 else 0)
+    steal = d[7] if len(d) > 7 else 0
+    return {
+        "cpu_steal_pct": round(100.0 * steal / tot, 2),
+        "cpu_idle_pct": round(100.0 * idle / tot, 2),
+        "cpu_busy_pct": round(100.0 * (tot - idle - steal) / tot, 2),
+    }
+
+
+def _with_cpu_window(fn, *args) -> dict:
+    """Run a bench leg and annotate its dict with the CPU window."""
+    a = _cpu_counters()
+    r = fn(*args)
+    r.update(_cpu_pcts(a, _cpu_counters()))
+    return r
+
+
 def _code_files_path() -> str:
     """Deterministic synthetic code_files corpus, generated once and
     cached in /tmp (same seed → byte-identical across processes)."""
@@ -175,17 +212,21 @@ def run_bench() -> dict:
         # 11s vs 21s walls); min-of-2 approximates the noise-free
         # time. Both runs are recorded under "runs".
         nd_runs = [
-            _headline_neardup(os.path.join(out_root, f"nd{i}"))
+            _with_cpu_window(_headline_neardup, os.path.join(out_root, f"nd{i}"))
             for i in range(BENCH_RUNS)
         ]
         nd = min(nd_runs, key=lambda r: r["sec"])
         ed_runs = [
-            _bench_exact_dedup(SF_DIR, os.path.join(out_root, f"ed{i}"))
+            _with_cpu_window(
+                _bench_exact_dedup, SF_DIR, os.path.join(out_root, f"ed{i}")
+            )
             for i in range(BENCH_RUNS)
         ]
         ed = min(ed_runs, key=lambda r: r["sec"])
         sh_runs = [
-            _bench_simhash_neardup(os.path.join(out_root, f"sh{i}"))
+            _with_cpu_window(
+                _bench_simhash_neardup, os.path.join(out_root, f"sh{i}")
+            )
             for i in range(BENCH_RUNS)
         ]
         sh = min(sh_runs, key=lambda r: r["sec"])
@@ -216,6 +257,20 @@ def run_bench() -> dict:
                 "neardup_sec": [round(r["sec"], 3) for r in nd_runs],
                 "exact_dedup_sec": [round(r["sec"], 3) for r in ed_runs],
                 "simhash_sec": [round(r["sec"], 3) for r in sh_runs],
+                # per-invocation CPU windows (steal/idle/busy %) —
+                # adjudicate stolen-window runs from the JSON alone
+                "neardup_cpu": [
+                    {k: r[k] for k in r if k.startswith("cpu_")}
+                    for r in nd_runs
+                ],
+                "exact_dedup_cpu": [
+                    {k: r[k] for k in r if k.startswith("cpu_")}
+                    for r in ed_runs
+                ],
+                "simhash_cpu": [
+                    {k: r[k] for k in r if k.startswith("cpu_")}
+                    for r in sh_runs
+                ],
             },
         }
         return result

@@ -210,8 +210,16 @@ def _run_curation(
             # sort all-to-all then moves 32-byte hashes instead of
             # whole documents (measured 30.8 s → narrow at 100k code
             # files; same crypto-key rationale as stages/exact.py)
+            # null → a sentinel no real document can contain (NUL
+            # bytes), so null-text and empty-string docs stay DISTINCT
+            # dedup groups instead of silently identifying
             return pa.table(
-                {"_k": md5_hex_array(pc.fill_null(key, "")), "row_id": b["row_id"]}
+                {
+                    "_k": md5_hex_array(
+                        pc.fill_null(key, "\x00__null_text__\x00")
+                    ),
+                    "row_id": b["row_id"],
+                }
             )
 
         # Keeper election is distributed (stages/exact.py

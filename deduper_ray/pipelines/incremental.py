@@ -37,11 +37,15 @@ LSH sort. The broadcast new-key array is the one per-increment
 driver-resident artifact; for very large increments fall back to a
 full `run_neardup` over the union. Cost scales with the COLLISION
 volume, not the prior size: a typical low-dup increment costs
-sign(new) + two prior scans, while a fully-adversarial increment
-(every new doc a clone) must gather ~|new| prior signature rows into
-the verify store and approaches full-run cost — measured 46 s for a
-100k all-clone increment against a 10^6-doc prior at 32 CPUs (the
-full union rerun is ~40 s).
+sign(new) + ONE prior scan (the scan emits matched prior signature
+rows inline, so the verify store assembles without a second pass).
+Round-5 worst-case work: the new×new LSH runs on a background thread
+overlapped with the prior scan, the verify store is an
+AsyncStoreBuilder overlapped with cross-candidate numpy, and scoring
+fans out past 2^17 pairs — a fully-adversarial 100k all-clone
+increment against a 10^6-doc prior dropped 46 s → 23.4 s at 32 CPUs
+(full union rerun ~40 s); per-stage walls in IncrementalResult
+.stage_sec.
 """
 
 from __future__ import annotations
@@ -85,6 +89,7 @@ class IncrementalResult:
     n_kept: int
     wall_sec: float = 0.0
     counters: dict = field(default_factory=dict)
+    stage_sec: dict = field(default_factory=dict)
 
     def decisions(self) -> rd.Dataset:
         return read_stage(os.path.join(self.out_dir, "decisions"))
@@ -228,6 +233,9 @@ def run_neardup_incremental(
         else prior_signatures
     )
 
+    stage_sec: dict[str, float] = {}
+    _t = time.time()
+
     # ---- 1. sign new docs ------------------------------------------
     new_sigs = _sign_new(new_source, cfg)
     n_new = new_sigs.count()
@@ -277,6 +285,38 @@ def run_neardup_incremental(
     else:
         id_offset = 0
 
+    stage_sec["sign_new"] = round(time.time() - _t, 2); _t = time.time()
+
+    # ---- 5 (early, background): new × new candidates ----------------
+    # Depends ONLY on the signed new docs, so it runs on a driver
+    # background thread OVERLAPPED with the prior scan + cross-candidate
+    # stages (the AsyncStoreBuilder pattern, stages/verify.py) — the
+    # adversarial worst case is a serial chain of cluster jobs
+    # otherwise. Joined at step 5's original position.
+    import threading
+
+    _nn_box: dict = {}
+
+    def _nn_job() -> None:
+        try:
+            scanned = candidate_pairs(
+                new_sigs,
+                bands=cfg.bands,
+                max_pairs_per_bucket=cfg.max_pairs_per_bucket,
+                id_column=id_col,
+                hot_bucket_threshold=cfg.hot_bucket_threshold,
+            )
+            _nn_box["res"] = collect_candidate_pairs(
+                scanned, max_pairs_per_bucket=cfg.max_pairs_per_bucket
+            )
+        except BaseException as e:  # noqa: BLE001 — re-raised at join
+            _nn_box["err"] = e
+
+    _nn_thread = threading.Thread(
+        target=_nn_job, name="nn-cands", daemon=True
+    )
+    _nn_thread.start()
+
     # ---- 2. distinct new band keys (broadcast) ---------------------
     new_expl = (
         new_sigs.map_batches(
@@ -292,14 +332,21 @@ def run_neardup_incremental(
     bands = cfg.bands
     cap = cfg.max_pairs_per_bucket
 
+    stage_sec["new_band_keys"] = round(time.time() - _t, 2); _t = time.time()
+
     # ---- 3. scan prior signatures for band collisions --------------
+    # The scan ALSO emits the signature rows of its block's matched
+    # prior ids (kind=1, one row per distinct matched id — prior ids
+    # partition the blocks, so no cross-block dups): the verify store
+    # then assembles without a SECOND full prior scan, which was the
+    # adversarial worst case's single largest cost (the prior parquet
+    # list<uint32,K> decode paid twice).
     def _collide(t: pa.Table) -> pa.Table:
         ks: np.ndarray = ray.get(keys_ref)
         sigs = _sig_matrix(t)
         keys = band_keys(sigs, bands).reshape(-1).view(np.int64)
-        ids = np.repeat(
-            t[id_col].to_numpy(zero_copy_only=False), bands
-        )
+        tids = t[id_col].to_numpy(zero_copy_only=False)
+        ids = np.repeat(tids, bands)
         pos = np.minimum(np.searchsorted(ks, keys), ks.size - 1)
         hit = ks[pos] == keys
         hk, hi = keys[hit], ids[hit]
@@ -315,14 +362,56 @@ def run_neardup_incremental(
             rank = np.arange(hk.size) - np.repeat(starts, lens)
             keep = rank < cap
             hk, hi = hk[keep], hi[keep]
-        return pa.table(
+        mh_type = t["minhash"].type
+        kind0 = pa.table(
             {
+                "kind": pa.array(np.zeros(hk.size, dtype=np.int8)),
                 "band_key": pa.array(hk, type=pa.int64()),
-                "prior_id": pa.array(hi, type=pa.int64()),
+                id_col: pa.array(hi, type=pa.int64()),
+                "minhash": pa.nulls(hk.size, type=mh_type),
+                "simhash": pa.nulls(hk.size, type=pa.uint64()),
+                "n_shingles": pa.nulls(hk.size, type=pa.int64()),
             }
         )
+        if not hk.size:
+            return kind0
+        uniq = np.unique(hi)
+        sel = t.filter(
+            pc.is_in(
+                t[id_col], value_set=pa.array(uniq, type=pa.int64())
+            )
+        )
+        kind1 = pa.table(
+            {
+                "kind": pa.array(np.ones(sel.num_rows, dtype=np.int8)),
+                "band_key": pa.nulls(sel.num_rows, type=pa.int64()),
+                id_col: pc.cast(sel[id_col], pa.int64()),
+                "minhash": sel["minhash"],
+                "simhash": sel["simhash"],
+                "n_shingles": sel["n_shingles"],
+            }
+        )
+        return pa.concat_tables([kind0, kind1])
 
-    matched = prior.map_batches(_collide, batch_format="pyarrow").to_pandas()
+    scanned_prior = prior.map_batches(
+        _collide, batch_format="pyarrow"
+    ).materialize()
+    matched_sigs = scanned_prior.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)).select(
+            [id_col, "minhash", "simhash", "n_shingles"]
+        ),
+        batch_format="pyarrow",
+    )
+    matched = (
+        scanned_prior.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], 0)).select(
+                ["band_key", id_col]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .rename(columns={id_col: "prior_id"})
+    )
     if len(matched):
         # global per-key cap (the in-scan cap is per BLOCK; a key hot
         # across many blocks re-concentrates here): keep the first
@@ -333,6 +422,22 @@ def run_neardup_incremental(
             .head(cap)
         )
     n_collisions = len(matched)
+
+    stage_sec["prior_scan"] = round(time.time() - _t, 2); _t = time.time()
+
+    # verify store (new sigs + matched prior sig rows, i.e. every
+    # possible pair endpoint by construction) assembled on a background
+    # thread NOW — it depends only on the two materialized scans above,
+    # so its driver-serial concat/scatter overlaps the cross-candidate
+    # numpy and the new×new collection
+    store_sigs = (
+        new_sigs.union(matched_sigs) if n_collisions else new_sigs
+    )
+    store_builder = None
+    if cfg.verify_mode != "exact":
+        from deduper_ray.stages.verify import AsyncStoreBuilder
+
+        store_builder = AsyncStoreBuilder(store_sigs, id_column=id_col)
 
     # ---- 4. cross candidates (new × matched prior per bucket) ------
     cross_a = np.empty(0, dtype=np.int64)
@@ -369,17 +474,13 @@ def run_neardup_incremental(
             )
     n_cross = cross_a.size
 
-    # ---- 5. new × new candidates (LSH over new docs only) ----------
-    scanned = candidate_pairs(
-        new_sigs,
-        bands=bands,
-        max_pairs_per_bucket=cap,
-        id_column=id_col,
-        hot_bucket_threshold=cfg.hot_bucket_threshold,
-    )
-    nn_pairs, nn_dropped = collect_candidate_pairs(
-        scanned, max_pairs_per_bucket=cap
-    )
+    stage_sec["cross_candidates"] = round(time.time() - _t, 2); _t = time.time()
+
+    # ---- 5. new × new candidates: join the background thread -------
+    _nn_thread.join()
+    if "err" in _nn_box:
+        raise _nn_box["err"]
+    nn_pairs, nn_dropped = _nn_box["res"]
     n_new_cand = nn_pairs.num_rows
 
     all_a = np.concatenate(
@@ -393,22 +494,15 @@ def run_neardup_incremental(
         {"id_a": pa.array(all_a), "id_b": pa.array(all_b)}
     )
 
-    # ---- 6. verify (store = new sigs + matched prior sig rows) -----
-    if matched_ids.size:
-        ids_ref = ray.put(matched_ids)
+    stage_sec["new_candidates"] = round(time.time() - _t, 2); _t = time.time()
 
-        def _gather(t: pa.Table) -> pa.Table:
-            want: np.ndarray = ray.get(ids_ref)
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(want, ids), want.size - 1)
-            return t.filter(pa.array(want[pos] == ids))
-
-        store_sigs = new_sigs.union(
-            prior.map_batches(_gather, batch_format="pyarrow")
-        )
-    else:
-        store_sigs = new_sigs
-
+    # ---- 6. verify -------------------------------------------------
+    # store_sigs (new sigs + step-3 kind=1 matched prior sig rows — no
+    # second prior scan) was kicked off as an AsyncStoreBuilder right
+    # after the prior scan; by now its assembly has overlapped the
+    # cross/new-candidate stages. The kind-1 rows are a SUPERSET of the
+    # post-global-cap matched ids (the cap only trims pair endpoints;
+    # extra store rows are harmless).
     if cfg.verify_mode == "exact":
         # exact-text re-score (oracle-grade): endpoint content only.
         # New side re-reads new_source with the internal id offset;
@@ -485,6 +579,7 @@ def run_neardup_incremental(
                 cfg.simhash_max_hamming if cfg.simhash_bits else None
             ),
             id_column=id_col,
+            prebuilt_store=store_builder,
         )
     vt = verified.to_pandas()
     if len(vt) and "id_a" in vt.columns:
@@ -493,6 +588,8 @@ def run_neardup_incremental(
     else:  # no verified pairs at all (e.g. empty prior + unique new)
         va = np.empty(0, dtype=np.int64)
         vb = np.empty(0, dtype=np.int64)
+
+    stage_sec["verify"] = round(time.time() - _t, 2); _t = time.time()
 
     # ---- 7. decision: components over ALL verified pairs -----------
     new_id_floor = int(prior_max) + 1
@@ -564,6 +661,7 @@ def run_neardup_incremental(
         n_kept=int(keep.sum()),
         wall_sec=time.time() - t_start,
         counters={"nn_dropped": int(nn_dropped)},
+        stage_sec={**stage_sec, "decide": round(time.time() - _t, 2)},
     )
     import json
 

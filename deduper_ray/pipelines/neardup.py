@@ -491,46 +491,84 @@ def _flag_containment(source: str, pairs_dir: str, cfg: NearDupConfig) -> None:
     """Add an ``is_containment`` column to the pairs checkpoint: for
     high-estimated-containment pairs, suffix-array-check whether the
     smaller doc is a verbatim substring of the larger
-    (functions/suffix.py). Content is fetched ONLY for flagged pair
-    endpoints (broadcast id-set filter — no shuffle)."""
-    import pyarrow.parquet as pq
+    (functions/suffix.py).
+
+    Fully distributed over pair volume: the pairs checkpoint stays a
+    Dataset end to end (flag + rewrite via map_batches/write_parquet).
+    Driver/object-store residency is bounded by the SUSPECT-ENDPOINT
+    set only — per-block unique suspect ids (cont ≥ 0.8) union to a
+    small id set, content is fetched for exactly those ids (broadcast
+    id-set filter, no shuffle) and broadcast once; each pairs block
+    flags its own suspects against the per-process-cached dict."""
+    import shutil
 
     from deduper_ray.functions.suffix import containment_check
+    from deduper_ray.functions.util import dataset_to_table
+    from deduper_ray.stages.relational import _fetch_broadcast
 
-    pairs_tbl = read_stage(pairs_dir).to_pandas()
-    cont_col = (
-        "containment" if "containment" in pairs_tbl.columns
-        else "est_containment"
-    )
-    suspects = pairs_tbl[pairs_tbl[cont_col] >= 0.8]
-    flags = np.zeros(len(pairs_tbl), dtype=bool)
-    if len(suspects):
-        ids = np.unique(
-            np.concatenate([suspects["id_a"].values, suspects["id_b"].values])
+    pairs = read_stage(pairs_dir)
+    cols = pairs.schema().names
+    cont_col = "containment" if "containment" in cols else "est_containment"
+
+    # pass 1: suspect-endpoint ids, pre-uniqued per block → tiny union
+    def _suspect_ids(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.greater_equal(t[cont_col], 0.8))
+        ids = np.union1d(
+            sub["id_a"].to_numpy(zero_copy_only=False),
+            sub["id_b"].to_numpy(zero_copy_only=False),
         )
+        return pa.table({"id": pa.array(ids, type=pa.int64())})
+
+    id_tbl = dataset_to_table(
+        pairs.map_batches(_suspect_ids, batch_format="pyarrow")
+    )
+    contents_ref = None
+    if id_tbl.num_rows:
+        ids = np.unique(id_tbl["id"].to_numpy(zero_copy_only=False))
         ids_ref = ray.put(pa.array(ids, type=pa.int64()))
         ds = read_table(source, columns=[cfg.text_column],
                         row_id_column=cfg.id_column)
 
         def _fetch(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t[cfg.id_column], value_set=ray.get(ids_ref)))
-
-        from deduper_ray.functions.util import dataset_to_table
+            return t.filter(
+                pc.is_in(t[cfg.id_column], value_set=ray.get(ids_ref))
+            )
 
         sub = dataset_to_table(ds.map_batches(_fetch, batch_format="pyarrow"))
-        contents = dict(
-            zip(sub[cfg.id_column].to_pylist(), sub[cfg.text_column].to_pylist())
+        contents_ref = ray.put(
+            dict(
+                zip(
+                    sub[cfg.id_column].to_pylist(),
+                    sub[cfg.text_column].to_pylist(),
+                )
+            )
         )
-        res = containment_check(
-            contents, list(zip(suspects["id_a"], suspects["id_b"]))
-        )
-        sus_idx = suspects.index.to_numpy()
-        for i, (a, b) in zip(sus_idx, zip(suspects["id_a"], suspects["id_b"])):
-            flags[pairs_tbl.index.get_loc(i)] = res[(a, b)]
-    out = pa.Table.from_pandas(
-        pairs_tbl.assign(is_containment=flags), preserve_index=False
-    )
+
+    # pass 2: flag each block's suspects (vectorized mask, no per-row
+    # index lookups); non-suspects keep flag False
+    def _flag(t: pa.Table) -> pa.Table:
+        flags = np.zeros(t.num_rows, dtype=bool)
+        if contents_ref is not None and t.num_rows:
+            m = t[cont_col].to_numpy(zero_copy_only=False) >= 0.8
+            hit = np.flatnonzero(m)
+            if hit.size:
+                contents = _fetch_broadcast(contents_ref)
+                a = t["id_a"].to_numpy(zero_copy_only=False)[hit].tolist()
+                b = t["id_b"].to_numpy(zero_copy_only=False)[hit].tolist()
+                res = containment_check(contents, list(zip(a, b)))
+                flags[hit] = [res[p] for p in zip(a, b)]
+        return t.append_column("is_containment", pa.array(flags))
+
+    flagged = pairs.map_batches(_flag, batch_format="pyarrow")
+    # atomic-ish swap: flagged files land in a sibling tmp dir first —
+    # the lazy `pairs` Dataset still reads the originals while writing
+    tmp_dir = pairs_dir + ".flag_tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+    flagged.write_parquet(tmp_dir)
     for f in os.listdir(pairs_dir):
         if f.endswith(".parquet"):
             os.remove(os.path.join(pairs_dir, f))
-    pq.write_table(out, os.path.join(pairs_dir, "pairs_flagged.parquet"))
+    for f in os.listdir(tmp_dir):
+        os.replace(os.path.join(tmp_dir, f), os.path.join(pairs_dir, f))
+    os.rmdir(tmp_dir)

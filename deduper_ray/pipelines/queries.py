@@ -2302,6 +2302,14 @@ def substring_overlap_docs(sf_dir: str) -> pd.DataFrame:
     pairs, _dropped = substring_overlap_pairs(
         ds, min_len=32, window=1, id_column="doc_id"
     )
+    if _dropped:
+        # this query registers an EXACT SQL oracle: a lossy bucket cap
+        # (one hot 32-byte gram shared by > ~2·cap docs) would silently
+        # diverge from it at larger scale factors — fail loud instead
+        raise RuntimeError(
+            f"substring_overlap_docs: bucket cap dropped {_dropped} "
+            "pairs; raise max_pairs_per_bucket for oracle-checked runs"
+        )
     out = pairs.to_pandas().drop_duplicates()
     return (
         out[["id_a", "id_b"]]

@@ -258,6 +258,7 @@ def dupe_groups_ds(
     *,
     hash_col: str = HASH_COL,
     columns_for_json: list[str] | None = None,
+    frag_driver_budget: int = 262_144,
 ) -> rd.Dataset:
     """DISTRIBUTED dupe-group assembly (reference dupeMap, Deduper.kt:107)
     — one output row per duplicated hash with the reference dupes-sink
@@ -270,9 +271,14 @@ def dupe_groups_ds(
     per-group rows with vectorized sorted-list construction; block
     boundary runs (≤2/block) are stitched on the driver; dupe_values
     JSON rows are rendered distributed and attached with a
-    hash-partitioned join. Driver residency: O(2·blocks) fragments +
-    the distinct-dupe-hash broadcast — the same bound the reference
-    accepts for its in-heap seenHashes.
+    hash-partitioned join. Driver residency: O(2·blocks) boundary
+    FRAGMENT ROWS + the distinct-dupe-hash broadcast — but a fragment
+    carries its run's member-id list, so one hot hash spanning many
+    sorted blocks would put its whole member set through the driver
+    stitch. Above ``frag_driver_budget`` total fragment member ids the
+    stitch therefore runs as a DISTRIBUTED groupby(hash) pass instead
+    (the simhash_nd.py boundary-bucket fallback) and the driver holds
+    nothing fragment-sized.
     """
     dupe_hashes: list[pa.Array] = []
     for batch in stats.map_batches(
@@ -322,13 +328,56 @@ def dupe_groups_ds(
         )
         .materialize()
     )
-    frags = scanned.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], 1)), batch_format="pyarrow"
-    ).to_pandas()
+    frag_ds = scanned.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)).drop_columns(["kind"]),
+        batch_format="pyarrow",
+    ).materialize()
     groups = scanned.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], 0)).drop_columns(["kind"]),
         batch_format="pyarrow",
     )
+    # fragment MEMBER-ID volume (not row count) is the driver-stitch
+    # cost: a hot hash spanning B blocks ships its whole member set
+    n_frag_ids = sum(
+        int(pc.sum(pc.list_value_length(b["row_ids"])).as_py() or 0)
+        for b in frag_ds.iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+        if b.num_rows
+    )
+    if n_frag_ids > frag_driver_budget:
+        def _stitch_group(g: pa.Table) -> pa.Table:
+            rid = np.sort(
+                np.concatenate(
+                    [
+                        np.asarray(x, dtype=np.int64)
+                        for x in g["row_ids"].to_pylist()
+                    ]
+                )
+            )
+            return pa.table(
+                {
+                    hash_col: pa.array(
+                        [g[hash_col][0].as_py()], type=pa.string()
+                    ),
+                    "row_ids": pa.array(
+                        [rid.tolist()], type=pa.list_(pa.int64())
+                    ),
+                    "any_seen": pa.array(
+                        [int(pc.max(g["any_seen"]).as_py())],
+                        type=pa.int8(),
+                    ),
+                }
+            )
+
+        groups = groups.union(
+            frag_ds.groupby(hash_col).map_groups(
+                _stitch_group, batch_format="pyarrow"
+            )
+        )
+        frags = pd.DataFrame()
+    else:
+        frags = frag_ds.to_pandas()
     if len(frags):
         merged = (
             frags.groupby(hash_col)
@@ -735,6 +784,10 @@ def dedupe_keep_best(
     deliberately NOT done here, since pinning the full wide corpus in
     the object store is usually worse than re-reading it.
     """
+    if strategy not in ("auto", "narrow", "wide"):
+        raise ValueError(
+            f"strategy must be 'auto', 'narrow' or 'wide', got {strategy!r}"
+        )
     drops_arr: np.ndarray | None = None
     if strategy in ("auto", "narrow"):
         from deduper_ray.functions.hashing import md5_hex_array
@@ -818,13 +871,37 @@ def dedupe_shuffle(hashed: rd.Dataset, *, hash_col: str = HASH_COL) -> rd.Datase
     rows. One wide all-to-all, zero driver state — the right choice when
     dupes are a large fraction of the corpus. (SURVEY.md §2 O7 second
     formulation.)
-    """
 
-    def _first(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group[ROW_ID])
-        first = group.take(order[:1])
-        if first[SEEN_FLAG][0].as_py():
-            return first.slice(0, 0)  # preloaded hash: no keeper at all
-        return first
+    BUCKETED on the hash fingerprint like ``_keep_best_wide`` (every
+    hash wholly in one bucket): one C-level pandas sort +
+    drop_duplicates per bucket picks the first-seen keeper and the
+    SEEN_FLAG filter drops preloaded hashes — Python dispatch count is
+    #buckets, not #distinct-hashes (a ``groupby(hash).map_groups`` pays
+    one Python call per group: millions of hashes ⇒ millions of
+    dispatches)."""
+    import ray as _ray
 
-    return hashed.groupby(hash_col).map_groups(_first, batch_format="pyarrow")
+    from deduper_ray.functions.hashing import fingerprint64
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    num_partitions = max(4, min(128, cpus * 2))
+
+    def _tag(t: pa.Table) -> pa.Table:
+        fp = np.asarray(fingerprint64(pc.fill_null(t[hash_col], "")))
+        bucket = (fp % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("_bucket", pa.array(bucket))
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([hash_col, ROW_ID])
+        out = df.drop_duplicates(subset=[hash_col], keep="first")
+        # SEEN_FLAG is a pure function of the hash, so it is identical
+        # across a group: a flagged keeper means the whole group was
+        # preloaded — no keeper at all
+        out = out[~out[SEEN_FLAG].astype(bool)]
+        return out.drop(columns=["_bucket"])
+
+    return (
+        hashed.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(_first, batch_format="pandas")
+    )

@@ -617,8 +617,10 @@ def distinct(ds: rd.Dataset, columns: list[str]) -> rd.Dataset:
     from ray.data.aggregate import Count
 
     def _local(t: pa.Table) -> pa.Table:
-        df = t.select(columns).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native local pre-dedup (zero-copy from the object
+        # store; a to_pandas().drop_duplicates() here paid a full
+        # pandas conversion per batch)
+        return t.select(columns).group_by(columns).aggregate([])
 
     pre = ds.map_batches(_local, batch_format="pyarrow")
     agg = pre.groupby(columns).aggregate(Count(alias_name="_n"))

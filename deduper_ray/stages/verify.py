@@ -22,6 +22,12 @@ import ray
 import ray.data as rd
 
 
+# pair count above which scoring fans out as stateless tasks over the
+# broadcast store instead of running inline on the (single-threaded)
+# driver — patchable for tests
+INLINE_SCORING_MAX = 131_072
+
+
 def build_signature_store(
     signatures: rd.Dataset,
     candidate_ids: np.ndarray | None,
@@ -396,7 +402,11 @@ def verify_pairs(
     # memory-bandwidth bound (pairs × K × 8 bytes twice), so fan it out
     # as STATELESS tasks over the broadcast store — elastic CPU use,
     # store deserialized once per worker process via the cache.
-    if pair_tbl.num_rows <= 1_000_000:
+    # Threshold at 2^17 pairs: the driver gather is SINGLE-threaded
+    # (measured ~26 µs/pair on this box → 17 s inline at 670k pairs,
+    # the old 1M cutoff's worst case vs ~2-3 s fanned out), while the
+    # dispatch+store-put overhead is well under a second.
+    if pair_tbl.num_rows <= INLINE_SCORING_MAX:
         scored = PairVerifier(pre_ref if store is None else store)(pair_tbl)
         return rd.from_arrow(_keep(scored))
     store_ref = pre_ref if store is None else ray.put(store)
@@ -415,7 +425,11 @@ def verify_pairs(
     # reverse-scales (measured 22s at 30 tasks vs 7s at 6); on a
     # multi-node cluster the cap applies per job, with per-node
     # bandwidth restoring scaling.
-    chunk = max(262_144, -(-pair_tbl.num_rows // 16))
+    # slice so ALL scoring-cap slots fill even just past the inline
+    # threshold (a 262k floor left a 670k-pair set on 3 tasks ≈ 7 s;
+    # the gather is latency- not bandwidth-bound on virtualized hosts,
+    # so concurrency up to the cap is a straight win)
+    chunk = max(65_536, -(-pair_tbl.num_rows // _scoring_cap()))
     slices = [
         pair_tbl.slice(i, chunk) for i in range(0, pair_tbl.num_rows, chunk)
     ]

@@ -97,3 +97,35 @@ def test_dupe_groups_ds_matches_bruteforce(keys, parts):
         np.int64
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_dupe_groups_frag_budget_distributed_stitch():
+    """frag_driver_budget=0 forces the distributed groupby(hash)
+    boundary stitch; output must equal the driver-stitch path on a
+    corpus where one hot hash spans every block (the adversarial shape
+    the budget exists for)."""
+    n = 600
+    keys = ["hot"] * 300 + [f"k{i % 60}" for i in range(300)]
+    t = pa.table(
+        {
+            HASH_COL: pa.array(keys),
+            ROW_ID: pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            SEEN_FLAG: pa.array([False] * n),
+            "x": pa.array([f"p{i}" for i in range(1, n + 1)]),
+        }
+    )
+    hashed = rd.from_arrow(t).repartition(8)
+    stats = group_stats(hashed).materialize()
+    base = (
+        dupe_groups_ds(hashed, stats, columns_for_json=["x"])
+        .to_pandas().sort_values("hash").reset_index(drop=True)
+    )
+    dist = (
+        dupe_groups_ds(
+            hashed, stats, columns_for_json=["x"], frag_driver_budget=0
+        )
+        .to_pandas().sort_values("hash").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, dist)
+    hot = base[base["hash"] == "hot"]
+    assert len(hot) == 1 and len(json.loads(hot["row_ids"].iloc[0])) == 299
