@@ -310,7 +310,7 @@ def run_headline_only() -> dict:
         ).materialize()
         # min-of-2 (same CPU-steal-noise rationale as run_bench)
         runs = [
-            _headline_neardup(os.path.join(out_root, f"nd{i}"))
+            _with_cpu_window(_headline_neardup, os.path.join(out_root, f"nd{i}"))
             for i in range(BENCH_RUNS)
         ]
         nd = min(runs, key=lambda r: r["sec"])
@@ -319,6 +319,9 @@ def run_headline_only() -> dict:
             "num_cpus": NUM_CPUS, "docs": nd["docs"],
             "files_per_sec": round(nd["docs_per_sec"], 1),
             "runs_sec": [round(r["sec"], 3) for r in runs],
+            "runs_cpu": [
+                {k: r[k] for k in r if k.startswith("cpu_")} for r in runs
+            ],
         }
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
