@@ -64,3 +64,27 @@ def test_copartitioned_matches_broadcast(tmp_path):
     assert np.allclose(
         copart["est_containment"], broadcast["est_containment"]
     )
+
+
+def test_fanout_scoring_matches_inline(tmp_path, monkeypatch):
+    """Forcing the task fan-out path (INLINE_SCORING_MAX=0) must score
+    a pa.Table pair set identically to the driver-inline path — guards
+    the round-5 threshold drop (670k-pair sets scored single-threaded
+    on the driver at ~26 µs/pair before)."""
+    import deduper_ray.stages.verify as v
+
+    signed, pairs = _setup(tmp_path)
+    from deduper_ray.functions.util import dataset_to_table
+
+    pair_tbl = dataset_to_table(
+        pairs, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    )
+    assert pair_tbl.num_rows > 100
+    inline = _norm(
+        verify_pairs(pair_tbl, signed, threshold=0.7).to_pandas()
+    )
+    monkeypatch.setattr(v, "INLINE_SCORING_MAX", 0)
+    fanout = _norm(
+        verify_pairs(pair_tbl, signed, threshold=0.7).to_pandas()
+    )
+    pd.testing.assert_frame_equal(inline, fanout)
