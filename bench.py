@@ -368,6 +368,19 @@ def run_scaling() -> None:
                 f"files_per_sec_{hi_n}": hi["files_per_sec"],
                 "cpus": [lo_n, hi_n],
                 "scaling_efficiency": round(eff, 3),
+                # per-leg sample walls + CPU windows (steal/idle/busy %)
+                # so a stolen leg is machine-adjudicable from this JSON
+                # alone — same rationale as run_bench's `runs` block
+                "legs": {
+                    f"cpus_{lo_n}": {
+                        "runs_sec": lo.get("runs_sec"),
+                        "runs_cpu": lo.get("runs_cpu"),
+                    },
+                    f"cpus_{hi_n}": {
+                        "runs_sec": hi.get("runs_sec"),
+                        "runs_cpu": hi.get("runs_cpu"),
+                    },
+                },
             }
         )
     )
