@@ -809,21 +809,23 @@ def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     1−(1−p⁴)⁶⁴ ≈ 1−4·10⁻⁶ at cos 0.45 (p = 1−θ/π ≈ 0.65) —
     deterministic under the fixed hyperplane seed, and verified below
     to catch every brute-force pair at the test scales. The bucket
-    cap is lifted to the all-pairs bound (125k at 500 vecs): capped
-    candidates would silently skip verification; at corpus scale,
-    raise bands-bits selectivity instead of the cap."""
+    cap is lifted to the table's all-pairs bound n(n−1)/2 (read from
+    parquet metadata — 125k at 500 vecs, ~2M at sf0.1's 2000):
+    clustered embeddings concentrate in few 4-bit band buckets, so a
+    fixed cap silently truncates candidates as n grows (observed at
+    sf0.1: 41/144 pairs with a 200k cap); at corpus scale, raise
+    bands-bits selectivity instead of the cap."""
     import pyarrow.parquet as pq
 
     from deduper_ray.stages.ann import embedding_neardup
 
-    ds = _rp(_t(sf_dir, "embeddings"))
-    d = len(
-        pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"])
-        ["embedding"][0]
-    )
+    path = _t(sf_dir, "embeddings")
+    ds = _rp(path)
+    d = len(pq.read_table(path, columns=["embedding"])["embedding"][0])
+    n = pq.ParquetFile(path).metadata.num_rows
     out = embedding_neardup(
         ds, dim=d, cosine_threshold=0.45, bits=256, bands=64,
-        max_pairs_per_bucket=200_000,
+        max_pairs_per_bucket=max(200_000, n * (n - 1) // 2),
     ).to_pandas()
     out["cosine"] = out["cosine"].round(6)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
