@@ -145,3 +145,56 @@ def test_embedding_neardup_high_recall_matches_bruteforce():
     }
     assert want, "test data must contain pairs above the threshold"
     assert got_pairs == want
+
+
+def test_embedding_neardup_hot_cluster_needs_allpairs_cap():
+    """Round-5 regression (caught by the sf0.1 sweep): clustered
+    embeddings concentrate in few 4-bit band buckets, so a FIXED
+    per-bucket candidate cap silently truncates pairs once one
+    cluster's C(m,2) exceeds it — embedding_neardup_pairs returned
+    41/144 pairs at sf0.1 with the old hardcoded 200k cap. The
+    oracle-checked wrapper now derives the cap from the table's
+    all-pairs bound n(n-1)/2; this pins both halves: the all-pairs
+    cap reaches exact brute-force parity on a hot cluster, and an
+    undersized cap demonstrably drops pairs (fails loud here rather
+    than silently at the next scale factor)."""
+    from deduper_ray.stages.ann import embedding_neardup
+
+    rng = np.random.RandomState(11)
+    center = rng.standard_normal(16)
+    m = 300  # one hot cluster: C(300,2) = 44,850 pairs in its buckets
+    vecs = center + rng.standard_normal((m, 16)) * 0.05
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(m), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1).astype(np.float32),
+                         type=pa.float32()), 16
+            ),
+        }
+    )
+    tau = 0.9
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    want = {
+        (i, j)
+        for i in range(m) for j in range(i + 1, m)
+        if sims[i, j] >= tau
+    }
+    assert len(want) > 10_000, "cluster must exceed any small fixed cap"
+
+    full = embedding_neardup(
+        rd.from_arrow(tbl), dim=16, cosine_threshold=tau,
+        bits=256, bands=64, max_pairs_per_bucket=m * (m - 1) // 2,
+    ).to_pandas()
+    full_pairs = {(int(a), int(b))
+                  for a, b in zip(full["id_a"], full["id_b"])}
+    assert full_pairs == want
+
+    capped = embedding_neardup(
+        rd.from_arrow(tbl), dim=16, cosine_threshold=tau,
+        bits=256, bands=64, max_pairs_per_bucket=500,
+    ).to_pandas()
+    assert len(capped) < len(want), (
+        "undersized cap should visibly truncate on a hot cluster"
+    )
