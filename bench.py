@@ -351,11 +351,23 @@ def run_scaling() -> None:
             os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_NDOCS=ndocs,
             BENCH_RUNS=os.environ.get("BENCH_RUNS", "2"),
         )
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
-            env=env, capture_output=True, text=True, check=True, cwd=REPO,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # one retry: a transient Ray-session failure in either leg
+        # would otherwise throw away the whole ~20-min paired run —
+        # and surface the child's stderr, which check=True swallows
+        for attempt in (1, 2):
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--headline-only"],
+                env=env, capture_output=True, text=True, cwd=REPO,
+            )
+            if proc.returncode == 0:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            sys.stderr.write(
+                f"[scaling] leg num_cpus={ncpu} attempt {attempt} "
+                f"failed (exit {proc.returncode}); stderr tail:\n"
+                + "\n".join(proc.stderr.splitlines()[-15:]) + "\n"
+            )
+        raise RuntimeError(f"scaling leg num_cpus={ncpu} failed twice")
 
     lo, hi = one(lo_n), one(hi_n)
     eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
