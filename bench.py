@@ -138,7 +138,8 @@ def _bench_simhash_neardup(out_root: str) -> dict:
     t0 = _t.time()
     ds = read_parquet_with_row_ids(src, columns=["content"])
     signed = ds.map_batches(
-        make_signer_fn(num_perms=128, shingle_k=8, text_column="content"),
+        make_signer_fn(num_perms=128, shingle_k=8, text_column="content",
+                       emit_minhash=False),
         batch_size=512, batch_format="pyarrow",
     ).map_batches(
         lambda t: t.select(["row_id", "simhash"]), batch_format="pyarrow"

@@ -144,6 +144,7 @@ class MinHashSigner:
         use_token_shingles: bool = False,
         keep_columns: tuple[str, ...] = (),
         scheme: str = "oph",
+        emit_minhash: bool = True,
     ):
         """scheme="oph" (default): one-permutation hashing with rotation
         densification (Li/Owen/Zhang 2012; Shrivastava/Li 2014) — ONE
@@ -151,7 +152,11 @@ class MinHashSigner:
         bucket, min of the remainder per bucket), ~K× less hashing work
         than K independent permutations, same unbiased Jaccard
         estimator P(slot_a == slot_b) = J.
-        scheme="classic": K independent (a·x+b) mod p permutations."""
+        scheme="classic": K independent (a·x+b) mod p permutations.
+        emit_minhash=False: SimHash-only signing — skips the MinHash
+        slot fill and omits the ``minhash`` column (~25% less batch
+        CPU), for consumers like stages/simhash_nd.py that band on the
+        fingerprint alone. simhash/n_shingles are unchanged."""
         rng = np.random.RandomState(seed)
         # a ∈ [1, p), b ∈ [0, p) — 31-bit universal hashing coefficients
         self.a = rng.randint(1, int(MERSENNE31), size=num_perms).astype(np.uint64)
@@ -166,6 +171,7 @@ class MinHashSigner:
         self.text_column = text_column
         self.id_column = id_column
         self.keep_columns = keep_columns
+        self.emit_minhash = emit_minhash
         self.bit_idx = np.arange(64, dtype=np.uint64)
         if use_token_shingles:
             import re
@@ -244,7 +250,11 @@ class MinHashSigner:
         # UTF-8; np.frombuffer accepts the memoryview slices directly)
         offsets, buf = _utf8_slices(batch[self.text_column])
         n = len(offsets) - 1
-        sigs = np.empty((n, self.K), dtype=np.uint64)
+        sigs = (
+            np.empty((n, self.K), dtype=np.uint64)
+            if self.emit_minhash
+            else None
+        )
         simhashes = np.empty(n, dtype=np.uint64)
         n_shingles = np.empty(n, dtype=np.int64)
 
@@ -267,7 +277,8 @@ class MinHashSigner:
         nonempty = [i for i, sh in enumerate(shingle_list) if sh.size]
         for i in range(n):
             if shingle_list[i].size == 0:
-                sigs[i] = int(MERSENNE31)
+                if sigs is not None:
+                    sigs[i] = int(MERSENNE31)
                 simhashes[i] = 0
         if nonempty:
             concat = np.concatenate([shingle_list[i] for i in nonempty])
@@ -276,30 +287,30 @@ class MinHashSigner:
             )
             seg = np.zeros(len(nonempty), dtype=np.int64)
             np.cumsum(sizes[:-1], out=seg[1:])
-            s31 = concat % MERSENNE31
             ne = np.asarray(nonempty)
-            if self.scheme == "oph":
-                self._oph_signatures(s31, sizes, seg, sigs, ne)
-            else:
-                for p in range(self.K):
-                    vals = (self.a[p] * s31 + self.b[p]) % MERSENNE31
-                    sigs[ne, p] = np.minimum.reduceat(vals, seg)
+            if sigs is not None:
+                s31 = concat % MERSENNE31
+                if self.scheme == "oph":
+                    self._oph_signatures(s31, sizes, seg, sigs, ne)
+                else:
+                    for p in range(self.K):
+                        vals = (self.a[p] * s31 + self.b[p]) % MERSENNE31
+                        sigs[ne, p] = np.minimum.reduceat(vals, seg)
             counts = n_shingles[ne]
             votes = _simhash_votes(concat, sizes, seg, counts)
             bitvals = (votes > 0).astype(np.uint64)
             simhashes[ne] = (bitvals << self.bit_idx[None, :]).sum(axis=1)
-        cols = {
-            self.id_column: batch[self.id_column],
+        cols = {self.id_column: batch[self.id_column]}
+        if sigs is not None:
             # uint32: MinHash values are < 2^31 by construction (mod
             # Mersenne-31); half the bytes in the parquet checkpoint,
             # the LSH shuffle and the verify gather
-            "minhash": pa.FixedSizeListArray.from_arrays(
+            cols["minhash"] = pa.FixedSizeListArray.from_arrays(
                 pa.array(sigs.reshape(-1).astype(np.uint32), type=pa.uint32()),
                 self.K,
-            ),
-            "simhash": pa.array(simhashes, type=pa.uint64()),
-            "n_shingles": pa.array(n_shingles, type=pa.int64()),
-        }
+            )
+        cols["simhash"] = pa.array(simhashes, type=pa.uint64())
+        cols["n_shingles"] = pa.array(n_shingles, type=pa.int64())
         for c in self.keep_columns:
             cols[c] = batch[c]
         return pa.table(cols)

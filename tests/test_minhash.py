@@ -55,6 +55,42 @@ def test_identical_docs_identical_signature_and_simhash():
     assert out["simhash"][0].as_py() == out["simhash"][1].as_py()
 
 
+def test_simhash_only_signer_matches_full_signer():
+    """emit_minhash=False: identical simhash/n_shingles, no minhash
+    column (the simhash_nd consumer contract)."""
+    docs = ["alpha beta gamma " * 20, "alpha beta delta " * 20, "", "xy"]
+    batch = pa.table({"i": list(range(len(docs))), "t": docs})
+    full = MinHashSigner(num_perms=64, shingle_k=8, text_column="t", id_column="i")
+    sim = MinHashSigner(
+        num_perms=64, shingle_k=8, text_column="t", id_column="i",
+        emit_minhash=False,
+    )
+    a, b = full(batch), sim(batch)
+    assert b.schema.names == ["i", "simhash", "n_shingles"]
+    assert a["simhash"].equals(b["simhash"])
+    assert a["n_shingles"].equals(b["n_shingles"])
+
+
+def test_simhash_votes_histogram_matches_bitloop():
+    """The per-byte-histogram vote kernel equals the 64-pass bit loop
+    on random segmented input (including 1-shingle segments)."""
+    import deduper_ray.stages.minhash as mh
+
+    rng = np.random.RandomState(7)
+    sizes = np.array([1, 5, 300, 17, 1], dtype=np.int64)
+    concat = rng.randint(0, 1 << 62, size=int(sizes.sum()), dtype=np.int64
+                         ).astype(np.uint64)
+    seg = np.zeros(sizes.size, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=seg[1:])
+    fast = mh._simhash_votes(concat, sizes, seg, sizes)
+    orig, mh._LITTLE_ENDIAN = mh._LITTLE_ENDIAN, False
+    try:
+        slow = mh._simhash_votes(concat, sizes, seg, sizes)
+    finally:
+        mh._LITTLE_ENDIAN = orig
+    assert np.array_equal(fast, slow)
+
+
 def test_simhash_hamming_tracks_similarity():
     rng = np.random.RandomState(1)
     base = "".join(rng.choice(list("abcdefghij "), 3000))
