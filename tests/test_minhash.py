@@ -176,3 +176,81 @@ def test_task_pool_signer_equals_actor_pool(tmp_path):
         np.array_equal(a, b)
         for a, b in zip(task["minhash"], actor["minhash"])
     )
+
+
+def test_batched_shingle_paths_bit_identical():
+    """The whole-batch shingle fast path (_batch_shingle_concat), the
+    batched list path (batch_shingle_hashes) and the original per-doc
+    shingle_hashes agree bit-for-bit — signatures, simhash and
+    n_shingles — across mixed doc lengths (incl. < k), in-doc repeats
+    and empty docs, for both schemes and several k."""
+    from deduper_ray.functions.hashing import _utf8_slices
+    from deduper_ray.stages import minhash as mh
+
+    rng = np.random.RandomState(7)
+    docs = [
+        "".join(rng.choice(list("abc"), size=rng.randint(0, 40)))
+        for _ in range(200)
+    ]
+    cases = [
+        pa.table({"i": pa.array(range(200), type=pa.int64()),
+                  "t": pa.array(docs)}),
+        pa.table({"i": pa.array(range(200), type=pa.int64()),
+                  "t": pa.array([d * 3 for d in docs])}),
+        pa.table({"i": pa.array(range(5), type=pa.int64()),
+                  "t": pa.array(["", "ab", "abcdefgh", "abcdefghi",
+                                 "zzzzzzzzzzzz"])}),
+        pa.table({"i": pa.array([], type=pa.int64()),
+                  "t": pa.array([], type=pa.string())}),
+        pa.table({"i": pa.array([0, 1], type=pa.int64()),
+                  "t": pa.array(["", ""])}),
+    ]
+    for k in (2, 8, 9):
+        for tbl in cases:
+            off, buf = _utf8_slices(tbl["t"])
+            off = np.asarray(off, dtype=np.int64)
+            per_doc = [
+                mh.shingle_hashes(buf[a:b], k)
+                for a, b in zip(off, off[1:])
+            ]
+            listed = mh.batch_shingle_hashes(off, buf, k)
+            assert all(
+                np.array_equal(x, y) for x, y in zip(per_doc, listed)
+            )
+            fast = mh._batch_shingle_concat(off, buf, k)
+            if fast is not None:
+                concat, sizes = fast
+                assert sizes.tolist() == [x.size for x in per_doc]
+                assert np.array_equal(
+                    concat,
+                    np.concatenate(per_doc)
+                    if per_doc
+                    else np.empty(0, dtype=np.uint64),
+                )
+        for scheme in ("oph", "classic"):
+            signer = mh.MinHashSigner(
+                num_perms=64, shingle_k=k, scheme=scheme,
+                text_column="t", id_column="i",
+            )
+            for tbl in cases:
+                out_fast = signer(tbl)
+                orig = mh._batch_shingle_concat
+                mh._batch_shingle_concat = lambda *a, **kw: None
+                try:
+                    out_list = signer(tbl)
+                finally:
+                    mh._batch_shingle_concat = orig
+                assert out_fast.equals(out_list)
+
+
+def test_rolling_hashes_match_horner():
+    from deduper_ray.stages import minhash as mh
+
+    rng = np.random.RandomState(0)
+    b = rng.randint(0, 256, size=3000).astype(np.uint64)
+    for k in (1, 2, 3, 5, 8, 13, 16):
+        m = b.size - k + 1
+        ref = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            ref = ref * mh._ROLL_MULT + b[j : j + m]
+        assert np.array_equal(ref, mh._rolling_hashes(b, k))
