@@ -38,21 +38,19 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from deduper_ray.stages.minhash import _ROLL_MULT
+from deduper_ray.stages.minhash import _rolling_hashes
 
 
 def gram_hashes(data: bytes | memoryview, k: int) -> np.ndarray:
     """Position-ordered rolling hashes of all k-byte grams (NOT
-    deduplicated — winnowing needs the positional sequence)."""
+    deduplicated — winnowing needs the positional sequence). Binary-
+    doubling combine (minhash._rolling_hashes): ~log2(k) passes, which
+    matters here because min_len is typically 32+ (5 passes vs 32),
+    bit-identical to the k-pass Horner form."""
     b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    n = b.size
-    if n < k:
+    if b.size < k:
         return np.empty(0, dtype=np.uint64)
-    m = n - k + 1
-    h = np.zeros(m, dtype=np.uint64)
-    for j in range(k):
-        h = h * _ROLL_MULT + b[j : j + m]
-    return h
+    return _rolling_hashes(b, k)
 
 
 def winnow(hashes: np.ndarray, window: int) -> np.ndarray:
