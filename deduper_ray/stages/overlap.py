@@ -85,14 +85,17 @@ class AnchorExploder:
         self.id_column = id_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from deduper_ray.functions.hashing import _utf8_slices
+
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)
-        texts = batch[self.text_column].to_pylist()
+        # zero-copy doc bytes off the Arrow value buffer (nulls read as
+        # empty slices) — no per-doc str materialization / re-encode
+        offsets, buf = _utf8_slices(batch[self.text_column])
         keys: list[np.ndarray] = []
         out_ids: list[np.ndarray] = []
-        for i, txt in enumerate(texts):
-            data = (txt or "").encode("utf-8")
+        for i, (a, b) in enumerate(zip(offsets, offsets[1:])):
             anchors = winnow(
-                gram_hashes(data, self.min_len), self.window
+                gram_hashes(buf[a:b], self.min_len), self.window
             )
             if anchors.size:
                 keys.append(anchors)
