@@ -132,30 +132,53 @@ def _scan_sorted_block(t: pa.Table, max_pairs: int) -> pa.Table:
         if n_runs > 1:
             frag_keys.append(keys[starts[-1]:ends[-1]])
             frag_ids.append(ids[starts[-1]:ends[-1]])
-        # loop ONLY over multi-row interior runs: LSH buckets are
-        # overwhelmingly singletons (~19M of 20M runs at 10^6 docs) and
-        # a Python iteration per singleton costs seconds per block
+        # multi-row interior runs, fully vectorized: LSH buckets are
+        # overwhelmingly singletons, but near-dup-heavy corpora leave
+        # thousands of multi-runs per block — a Python iteration per
+        # run (np.unique + triu each) measured 141 ms/block at 2×10^6
+        # docs. Instead: gather the multi-run subset once, sort ids
+        # within runs (one lexsort over the small subset), mask in-run
+        # duplicate ids, then emit pairs with ONE batched triu gather
+        # per DISTINCT run length (≤ tens of lengths, not thousands of
+        # runs). Cap-exceeding runs keep the chain+stride loop (rare).
         lens = ends - starts
         interior = (np.arange(n_runs) > 0) & (np.arange(n_runs) < n_runs - 1)
-        # len==2 runs (the overwhelming multi-run case: one clone pair
-        # per band bucket) are fully vectorized — one gather + min/max
-        two = np.nonzero(interior & (lens == 2))[0]
-        if two.size:
-            x = ids[starts[two]]
-            y = ids[starts[two] + 1]
-            keep = x != y
-            out_a.append(np.minimum(x[keep], y[keep]))
-            out_b.append(np.maximum(x[keep], y[keep]))
-        # len>=3 runs: python loop, but these are rare
-        for i in np.nonzero(interior & (lens >= 3))[0]:
-            s, e = starts[i], ends[i]
-            uids = np.unique(ids[s:e])
-            if uids.size < 2:
-                continue
-            a, b, dropped = _pairs_for_bucket(uids, max_pairs)
-            out_a.append(a)
-            out_b.append(b)
-            dropped_total += dropped
+        multi = np.nonzero(interior & (lens >= 2))[0]
+        if multi.size:
+            ls = lens[multi]
+            idx = np.arange(int(ls.sum()), dtype=np.int64)
+            idx -= np.repeat(np.cumsum(ls) - ls, ls)
+            idx += np.repeat(starts[multi], ls)
+            run_of = np.repeat(multi, ls)
+            order = np.lexsort((ids[idx], run_of))
+            sv = ids[idx][order]
+            rv = run_of[order]
+            keep = np.empty(sv.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = (sv[1:] != sv[:-1]) | (rv[1:] != rv[:-1])
+            sv, rv = sv[keep], rv[keep]
+            bnd = np.empty(sv.size, dtype=bool)
+            bnd[0] = True
+            bnd[1:] = rv[1:] != rv[:-1]
+            ustarts = np.flatnonzero(bnd)
+            ulens = np.diff(np.append(ustarts, sv.size))
+            over = ulens.astype(np.int64) * (ulens - 1) // 2 > max_pairs
+            small = ~over & (ulens >= 2)
+            for L in np.unique(ulens[small]):
+                sel = ustarts[small & (ulens == L)]
+                # ids are sorted ascending within each run, so the
+                # upper triangle already satisfies id_a < id_b
+                mat = sv[sel[:, None] + np.arange(int(L))]
+                iu0, iu1 = np.triu_indices(int(L), k=1)
+                out_a.append(mat[:, iu0].ravel())
+                out_b.append(mat[:, iu1].ravel())
+            for s, L in zip(ustarts[over], ulens[over]):
+                a, b, dropped = _pairs_for_bucket(
+                    sv[s : s + L], max_pairs
+                )
+                out_a.append(a)
+                out_b.append(b)
+                dropped_total += dropped
     a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
     b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
     if a.size:
