@@ -101,7 +101,11 @@ def _headline_neardup(out_root: str) -> dict:
     dt = time.time() - t0
     return {"sec": dt, "docs": res.n_docs, "docs_per_sec": res.n_docs / dt,
             "verified_pairs": res.n_verified_pairs,
-            "clusters": res.n_clusters}
+            "clusters": res.n_clusters,
+            # per-stage walls: lets an archived JSON show WHERE a leg's
+            # time went (fixed sort floors vs parallel compute) without
+            # re-running — used by the BASELINE scaling adjudications
+            "stage_sec": dict(res.stage_sec)}
 
 
 def _bench_exact_dedup(sf_dir: str, out_root: str) -> dict:
@@ -319,6 +323,7 @@ def run_headline_only() -> dict:
             "value": round(nd["sec"], 3), "unit": "sec",
             "num_cpus": NUM_CPUS, "docs": nd["docs"],
             "files_per_sec": round(nd["docs_per_sec"], 1),
+            "stage_sec": nd.get("stage_sec"),
             "runs_sec": [round(r["sec"], 3) for r in runs],
             "runs_cpu": [
                 {k: r[k] for k in r if k.startswith("cpu_")} for r in runs
@@ -388,10 +393,12 @@ def run_scaling() -> None:
                     f"cpus_{lo_n}": {
                         "runs_sec": lo.get("runs_sec"),
                         "runs_cpu": lo.get("runs_cpu"),
+                        "stage_sec": lo.get("stage_sec"),
                     },
                     f"cpus_{hi_n}": {
                         "runs_sec": hi.get("runs_sec"),
                         "runs_cpu": hi.get("runs_cpu"),
+                        "stage_sec": hi.get("stage_sec"),
                     },
                 },
             }
