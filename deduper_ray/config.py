@@ -161,9 +161,15 @@ class NearDupConfig:
     # verification (bit-identical scores, equivalence-tested)
     verify_backend: str = "auto"
     # estimated store bytes above which "auto" routes verification to
-    # copartition (mirrors cluster_edge_budget). 2 GiB ≈ 4M docs at
-    # K=128 — well under a worker heap, well past the bench corpora.
-    verify_store_budget_bytes: int = 2 << 30
+    # copartition (mirrors cluster_edge_budget). None (default) derives
+    # the budget at run time as 25% of the cluster's object_store_memory
+    # resource: the store is numpy-in-plasma and every scoring task on a
+    # node reads it ZERO-COPY, so its residency is one copy per NODE —
+    # the right comparison is node object-store capacity, not worker
+    # heap. (A fixed 2 GiB default mis-routed a 10^7-doc corpus to
+    # copartition on a 128 GiB box; BASELINE.md §10.4.) An explicit int
+    # pins the budget.
+    verify_store_budget_bytes: int | None = None
     # "signature": pairs scored by MinHash-estimated Jaccard (default —
     # no content re-read, O(K) per pair);
     # "exact": pairs re-scored with the TRUE k-shingle Jaccard

@@ -178,10 +178,17 @@ def _run_neardup(
     verify_backend = cfg.verify_backend
     if verify_backend == "auto":
         est_store_bytes = n_docs * (cfg.num_perms * 4 + 24)
+        budget = cfg.verify_store_budget_bytes
+        if budget is None:
+            # auto: 25% of the cluster's object store. The broadcast
+            # store is plasma-backed numpy read zero-copy by every
+            # scoring task on a node — one copy per NODE — so budget
+            # against node store capacity (config.py rationale).
+            obj_mem = ray.cluster_resources().get("object_store_memory", 0)
+            budget = int(0.25 * obj_mem) if obj_mem else (2 << 30)
+            counters["verify_store_budget_auto"] = budget
         verify_backend = (
-            "copartition"
-            if est_store_bytes > cfg.verify_store_budget_bytes
-            else "broadcast"
+            "copartition" if est_store_bytes > budget else "broadcast"
         )
         counters["verify_store_est_bytes"] = est_store_bytes
     elif verify_backend not in ("broadcast", "copartition"):
@@ -243,7 +250,21 @@ def _run_neardup(
         scanned = scanned.materialize()
         n_scanned = scanned.count()
         late_dedup = n_scanned > LATE_DEDUP_THRESHOLD
-        if late_dedup:
+        if late_dedup and verify_backend == "copartition":
+            # copartition scoring fattens EVERY pair row to two
+            # endpoint rows carrying K·4 B signature blobs through two
+            # sorts — cross-band duplicate pairs are cheap to keep for
+            # broadcast scoring (late dedup) but 2-3× the dominant
+            # exchange volume here. Dedup while rows are still 16 B:
+            # candidate_pair_dataset's distributed sort + adjacent
+            # collapse (≤1 surviving dup per block boundary, removed
+            # with the verified set as usual).
+            from deduper_ray.stages.lsh import candidate_pair_dataset
+
+            cands, n_dropped = candidate_pair_dataset(
+                scanned, max_pairs_per_bucket=cfg.max_pairs_per_bucket
+            )
+        elif late_dedup:
             from deduper_ray.stages.lsh import candidate_pair_rows
 
             cands, n_dropped = candidate_pair_rows(
@@ -257,6 +278,10 @@ def _run_neardup(
             )
             cands = rd.from_arrow(ctbl)
         cands = cands.materialize()
+        # raw scanned pair/fragment rows have no further consumer once
+        # the resolved candidate set is materialized — release their
+        # plasma blocks before the blob-carrying verify stage
+        del scanned
         if n_dropped:
             import logging
 

@@ -660,22 +660,26 @@ def verify_pairs_copartitioned(
     num_partitions: int | None = None,
 ) -> rd.Dataset:
     """The NO-BROADCAST verification path for corpora whose signature
-    store exceeds worker heap (10^9+ candidate docs — SCALE.md
-    "Driver-resident state" item 2):
+    store exceeds the per-node object store budget (10^8-10^9+ docs —
+    SCALE.md "Driver-resident state" item 2):
 
-      pairs → two endpoint rows each → hash-partitioned JOIN with the
-      signature table on the doc id → sort by pair key → per-block
-      vectorized adjacent-row scoring (block-edge rows stitched on the
-      driver, ≤2 per block).
+      pairs → two endpoint rows each → SORT-MERGE attach of the
+      signature table on the doc id (one union + range sort; spills,
+      never actor-buffered) → sort by pair key → per-block vectorized
+      adjacent-row scoring (block-edge rows stitched on the driver,
+      ≤2 runs per block).
 
-    Everything moves through shuffles; nothing is broadcast and the
-    driver holds only block-edge rows. Scores match PairVerifier
-    bit-for-bit (same arithmetic on the same arrays).
+    Everything moves through range-sort exchanges; nothing is
+    broadcast and the driver holds only block-edge rows. Scores match
+    PairVerifier bit-for-bit (same arithmetic on the same arrays).
+
+    ``num_partitions`` is retained for API compatibility and ignored
+    (the former Dataset.join path sized its hash-shuffle aggregators
+    with it; the sort path lets Ray size the exchange).
     """
     import pyarrow.compute as pc
 
     from deduper_ray.functions.util import dataset_to_table
-    from deduper_ray.stages.relational import partitioned_join
 
     def _endpoints(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
@@ -688,25 +692,21 @@ def verify_pairs_copartitioned(
             }
         )
 
-    if num_partitions is None:
-        # hash-shuffle partitions spawn aggregator actors: size to the
-        # cluster or a small session drowns in actor scheduling
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(4, min(64, cpus * 2))
-
     endpoints = pairs.map_batches(_endpoints, batch_format="pyarrow")
 
     def _pack_sigs(t: pa.Table) -> pa.Table:
-        # acero joins reject fixed_size_list payload columns — carry the
-        # signature as fixed-size binary (zero-copy re-viewable)
+        # carry the signature as fixed-size binary built zero-copy from
+        # the matrix buffer (a per-row tobytes() loop paid 10^7 Python
+        # iterations at 10^7 docs)
         K = t["minhash"].type.list_size
         mat = (
             t["minhash"].combine_chunks().flatten()
             .to_numpy(zero_copy_only=False).reshape(-1, K)
         )
         width = mat.dtype.itemsize * K
-        blob = pa.array(
-            [row.tobytes() for row in mat], type=pa.binary(width)
+        blob = pa.Array.from_buffers(
+            pa.binary(width), mat.shape[0],
+            [None, pa.py_buffer(np.ascontiguousarray(mat))],
         )
         return pa.table(
             {
@@ -718,9 +718,13 @@ def verify_pairs_copartitioned(
         )
 
     packed = signatures.map_batches(_pack_sigs, batch_format="pyarrow")
-    joined = partitioned_join(
-        endpoints, packed, id_column, num_partitions=num_partitions
-    )
+    # SORT-MERGE attach instead of Dataset.join: Ray's hash-shuffle
+    # join buffers both sides in per-partition aggregator ACTORS —
+    # measured ~3 GB heap × num_partitions actors at 10^7 docs on one
+    # box (global OOM; BASELINE.md §10.4), while the range sort's
+    # pull-based exchange spills per-block and is ~9× faster on this
+    # row shape anyway (SCALE.md round-5 session-4 measurement).
+    joined = _attach_endpoint_signatures(endpoints, packed, id_column)
     srt = joined.sort(["id_a", "id_b", id_column])
 
     def _score_block(t: pa.Table):
@@ -810,6 +814,183 @@ def verify_pairs_copartitioned(
     if extra.num_rows:
         result = result.union(rd.from_arrow(_keep(extra)))
     return result
+
+
+def _attach_endpoint_signatures(
+    endpoints: rd.Dataset, packed: rd.Dataset, id_column: str
+) -> rd.Dataset:
+    """Sort-merge replacement for the former hash join in
+    ``verify_pairs_copartitioned``: attach each endpoint row's
+    signature record without broadcasting the store and without
+    buffering either side in actor heaps.
+
+      union(sig rows side=0, endpoint rows side=1)
+        → range sort by (id, side)            [the one exchange]
+        → per-block run scan: every id run is [sig row, endpoint
+          rows...]; interior runs attach vectorized (two Table.take
+          calls); runs touching a block edge are deferred whole
+        → driver stitch of the deferred edge runs (≤2 runs per block;
+          a run is one doc's endpoint rows — bounded by the per-bucket
+          pair caps, not by corpus size)
+
+    Inner-join semantics: an endpoint whose id has no signature row
+    (impossible for LSH-derived candidates, possible for caller-
+    supplied pairs) is dropped, matching the Dataset.join behavior.
+    Output columns: (id_a, id_b, id_column, sig_bin, simhash,
+    n_shingles) — exactly the former join schema.
+    """
+    import pyarrow.compute as pc
+
+    from deduper_ray.functions.util import dataset_to_table
+
+    # null-column types for the endpoint side, straight from the packed
+    # schema (metadata-only on a materialized/read dataset)
+    pk_schema = packed.schema()
+    pk_types = dict(zip(pk_schema.names, pk_schema.types))
+    sig_bin_t = pk_types["sig_bin"]
+    simhash_t = pk_types["simhash"]
+    nsh_t = pk_types["n_shingles"]
+
+    # the union carries sig_bin as VARIABLE binary: a fixed_size_binary
+    # null still allocates its full width, so typed nulls on the
+    # endpoint side cost width bytes/row — 8 GB of null padding at
+    # 10^7 docs (2 endpoint rows per pair, K=128) that the sort then
+    # moves twice. Variable-binary nulls cost one offset; the real
+    # blobs re-fix at the output cast.
+    def _sig_side(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        n = t.num_rows
+        return pa.table(
+            {
+                id_column: t[id_column],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "id_a": pa.nulls(n, type=pa.int64()),
+                "id_b": pa.nulls(n, type=pa.int64()),
+                "sig_bin": _pc.cast(t["sig_bin"], pa.binary()),
+                "simhash": t["simhash"],
+                "n_shingles": t["n_shingles"],
+            }
+        )
+
+    def _ep_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                id_column: t[id_column],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "sig_bin": pa.nulls(n, type=pa.binary()),
+                "simhash": pa.nulls(n, type=simhash_t),
+                "n_shingles": pa.nulls(n, type=nsh_t),
+            }
+        )
+
+    uni = packed.map_batches(_sig_side, batch_format="pyarrow").union(
+        endpoints.map_batches(_ep_side, batch_format="pyarrow")
+    )
+    # materialize the union before the sort: feeding
+    # Union -> AllToAll[Sort] directly into one streaming plan left the
+    # executor spinning without launching sort tasks at 10^7 docs
+    # (driver 93% CPU, workers idle, "UnionOperator has no outputs"),
+    # while a materialized input sorts immediately — one extra pass
+    # over narrow+blob rows buys a working exchange
+    uni = uni.materialize()
+    srt = uni.sort([id_column, "side"])
+
+    out_cols = ["id_a", "id_b", id_column, "sig_bin", "simhash",
+                "n_shingles"]
+
+    def _attach_block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("_edge", pa.array([], type=pa.int8()))
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        change = ids[1:] != ids[:-1]
+        run_id = np.concatenate(([0], np.cumsum(change)))
+        n_runs = int(run_id[-1]) + 1
+        run_starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        # edge runs (first/last of the block) may continue in a
+        # neighboring block — defer them whole
+        is_edge = (run_id == 0) | (run_id == n_runs - 1)
+        sig_src = run_starts[run_id]
+        valid = (~is_edge) & (side == 1) & (side[sig_src] == 0)
+        idx = np.flatnonzero(valid)
+        ep = t.take(pa.array(idx, type=pa.int64()))
+        sg = t.take(pa.array(sig_src[idx], type=pa.int64()))
+        attached = pa.table(
+            {
+                "id_a": ep["id_a"],
+                "id_b": ep["id_b"],
+                id_column: ep[id_column],
+                "sig_bin": sg["sig_bin"],
+                "simhash": sg["simhash"],
+                "n_shingles": sg["n_shingles"],
+                "side": pa.array(np.ones(idx.size, dtype=np.int8)),
+                "_edge": pa.array(np.zeros(idx.size, dtype=np.int8)),
+            }
+        )
+        edge = t.filter(pa.array(is_edge)).append_column(
+            "_edge", pa.array(np.ones(int(is_edge.sum()), dtype=np.int8))
+        )
+        return pa.concat_tables(
+            [attached.select(edge.column_names), edge], promote_options="none"
+        )
+
+    marked = srt.map_batches(
+        _attach_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    # release the materialized union's plasma blocks: marked is the
+    # only consumer and it just materialized (peak-store relief — the
+    # attach output carries the blobs now)
+    del uni, srt
+    def _interior(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["_edge"], 0)).select(out_cols)
+        # restore the fixed-width blob type downstream scoring expects
+        return t.set_column(
+            t.schema.get_field_index("sig_bin"), "sig_bin",
+            pc.cast(t["sig_bin"], sig_bin_t),
+        )
+
+    interior = marked.map_batches(_interior, batch_format="pyarrow")
+    # driver stitch: the deferred edge runs, re-attached with the same
+    # run-scan logic over the (tiny) globally re-sorted fragment table
+    frag = dataset_to_table(
+        marked.map_batches(
+            lambda t: t.filter(pc.equal(t["_edge"], 1)),
+            batch_format="pyarrow",
+        )
+    )
+    if frag.num_rows:
+        order = pc.sort_indices(
+            frag, sort_keys=[(id_column, "ascending"), ("side", "ascending")]
+        )
+        frag = frag.take(order)
+        ids = frag[id_column].to_numpy(zero_copy_only=False)
+        side = frag["side"].to_numpy(zero_copy_only=False)
+        change = ids[1:] != ids[:-1]
+        run_id = np.concatenate(([0], np.cumsum(change)))
+        run_starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        sig_src = run_starts[run_id]
+        valid = (side == 1) & (side[sig_src] == 0)
+        idx = np.flatnonzero(valid)
+        ep = frag.take(pa.array(idx, type=pa.int64()))
+        sg = frag.take(pa.array(sig_src[idx], type=pa.int64()))
+        stitched = pa.table(
+            {
+                "id_a": ep["id_a"],
+                "id_b": ep["id_b"],
+                id_column: ep[id_column],
+                "sig_bin": pc.cast(sg["sig_bin"], sig_bin_t),
+                "simhash": sg["simhash"],
+                "n_shingles": sg["n_shingles"],
+            }
+        )
+        if stitched.num_rows:
+            interior = interior.union(rd.from_arrow(stitched))
+    return interior
 
 
 def _unpack_sig_bin(col: pa.ChunkedArray | pa.Array) -> np.ndarray:

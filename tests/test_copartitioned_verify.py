@@ -88,3 +88,34 @@ def test_fanout_scoring_matches_inline(tmp_path, monkeypatch):
         verify_pairs(pair_tbl, signed, threshold=0.7).to_pandas()
     )
     pd.testing.assert_frame_equal(inline, fanout)
+
+
+def test_sortmerge_attach_hot_endpoint_spanning_blocks(tmp_path):
+    """The sort-merge attach (the former Dataset.join; replaced because
+    hash-shuffle aggregators OOMed at 10^7 docs — BASELINE.md §10.4)
+    must survive an id run LARGER than a sorted block: a hot endpoint
+    in 5,000 pairs with the union split into many tiny blocks, so its
+    run spans several blocks and resolves via the edge-run stitch."""
+    signed, _ = _setup(tmp_path)
+    hot = 3
+    n_docs = signed.count()
+    others = np.array(
+        [i for i in range(n_docs) if i != hot], dtype=np.int64
+    )
+    # keep pairs ordered (id_a < id_b) like LSH emission
+    id_a = np.minimum(hot, others)
+    id_b = np.maximum(hot, others)
+    pair_tbl = pa.table({"id_a": pa.array(id_a), "id_b": pa.array(id_b)})
+    # many small blocks force the hot id's endpoint rows across blocks
+    pairs = rd.from_arrow(pair_tbl).repartition(16).materialize()
+    broadcast = _norm(
+        verify_pairs(pairs, signed, threshold=0.0).to_pandas()
+    )
+    copart = _norm(
+        verify_pairs_copartitioned(pairs, signed, threshold=0.0).to_pandas()
+    )
+    assert len(broadcast) == n_docs - 1
+    assert len(copart) == len(broadcast)
+    for col in ("id_a", "id_b", "hamming"):
+        assert copart[col].tolist() == broadcast[col].tolist(), col
+    assert np.allclose(copart["est_jaccard"], broadcast["est_jaccard"])
