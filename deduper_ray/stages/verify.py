@@ -990,7 +990,11 @@ def _attach_endpoint_signatures(
         )
         if stitched.num_rows:
             interior = interior.union(rd.from_arrow(stitched))
-    return interior
+    # materialize before returning: the caller feeds this straight into
+    # the pair-key sort, and a Union streaming directly into an
+    # AllToAll[Sort] stalls the executor at ≥4×10^6 docs (workers idle,
+    # scheduler spinning — same pathology as the first union above)
+    return interior.materialize()
 
 
 def _unpack_sig_bin(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
