@@ -109,7 +109,14 @@ def partitioned_join(
     Default partition count scales with cluster CPUs — Ray's hash
     shuffle spawns one aggregator per partition (0.125 CPU each) and a
     64-partition join DEADLOCKS a ≤4-CPU cluster waiting for
-    aggregator slots."""
+    aggregator slots.
+
+    Memory caveat: each aggregator buffers its partition of BOTH sides
+    in actor heap (measured ~3 GB/actor joining 10^7 512-byte-blob rows
+    — a global OOM; SCALE.md round-5 session-4). Fine for the narrow
+    rows this repo joins; for wide-payload co-location use the
+    sort-merge attach pattern (stages/verify.py
+    ``_attach_endpoint_signatures``) instead."""
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
         num_partitions = max(2, min(64, cpus * 2))
